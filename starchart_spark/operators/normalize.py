@@ -1,0 +1,147 @@
+"""Forge-type dispatch + wire-page normalization (SURVEY.md §2.4, N1-N3).
+
+The reference instantiates a Rust trait object per forge type
+(/root/reference/src/spider.rs:38-42, forge/forge-core/src/lib.rs:115-121;
+Gitea is the only impl). Spark-first re-expression: forge_type is a *column*;
+a broadcast join attaches it from the seed table, and per-type parsers are
+plain DataFrame plans unioned together — no per-row dispatch, and Catalyst
+prunes the JSON parse to the consumed fields.
+
+Parsing itself is ``from_json`` against the declared wire schema
+(forge/gitea/src/schema.rs:22-151) — JVM-side, no Python in the loop.
+Normalization (N2/N3) reproduces ``to_user`` / repo construction at
+forge/gitea/src/lib.rs:103-113,150-170: profile link = instance URL + "/" +
+username, avatar → profile_photo, ``empty_is_none`` on website.
+
+Span handling: the interleaved ``spans`` array is *re-sorted by offset*
+before the first text span is taken — span order is the per-row invariant
+(BASELINE.json input_hint) and must never depend on upstream array layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from starchart_spark import tables
+
+SEARCH_PATH = "/api/v1/repos/search"  # forge/gitea/src/lib.rs:31
+
+
+def first_text_span(df: DataFrame, out_col: str = "wire_json") -> DataFrame:
+    """Extract the first api_json span's text, in offset order."""
+    spans_sorted = F.expr("array_sort(spans, (a, b) -> a.offset - b.offset)")
+    api = F.filter(spans_sorted, lambda s: s["kind"] == F.lit("api_json"))
+    return df.withColumn(out_col, F.element_at(api, 1)["text"])
+
+
+def split_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(search_pages, topics_pages) from the documents table, by URL shape."""
+    is_search = F.col("doc_id").contains(SEARCH_PATH)
+    is_topics = F.col("doc_id").endswith("/topics")
+    return docs.filter(is_search), docs.filter(is_topics & ~is_search)
+
+
+def parse_gitea_search_pages(search_docs: DataFrame) -> DataFrame:
+    """Search-page documents → one row per wire repo, with crawl-order keys.
+
+    Output: hostname, page, idx_in_page (1-based; 0 is the page fetch
+    itself), name, description, website, html_url, owner struct.
+    """
+    df = first_text_span(search_docs)
+    df = df.withColumn("parsed", F.from_json("wire_json", tables.GITEA_SEARCH_RESULTS))
+    df = df.withColumn("page", F.regexp_extract("doc_id", r"[?&]page=(\d+)", 1).cast("int"))
+    # plain posexplode: an empty data array (termination sentinel page,
+    # src/spider.rs:74-77) contributes zero repo rows
+    df = df.select(
+        "doc_id",
+        "hostname",
+        "page",
+        F.posexplode("parsed.data").alias("pos", "repo"),
+    )
+    return df.select(
+        "doc_id",
+        "hostname",
+        "page",
+        (F.col("pos") + 1).alias("idx_in_page"),
+        F.col("repo.name").alias("name"),
+        F.col("repo.description").alias("description"),
+        F.col("repo.website").alias("website"),
+        F.col("repo.html_url").alias("html_url"),
+        F.col("repo.owner.username").alias("owner_username"),
+        F.col("repo.owner.avatar_url").alias("owner_avatar_url"),
+    )
+
+
+def parse_gitea_topics_pages(topics_docs: DataFrame) -> DataFrame:
+    """Topics documents → (hostname, owner, name, tags array)."""
+    df = first_text_span(topics_docs)
+    df = df.withColumn("parsed", F.from_json("wire_json", tables.GITEA_TOPICS))
+    return df.select(
+        "hostname",
+        F.regexp_extract("doc_id", r"/api/v1/repos/([^/]+)/([^/]+)/topics$", 1).alias(
+            "owner_username"
+        ),
+        F.regexp_extract("doc_id", r"/api/v1/repos/([^/]+)/([^/]+)/topics$", 2).alias("name"),
+        # D6 in-batch tag dedup (HashSet semantics, gitea/src/lib.rs:151-156)
+        F.array_distinct("parsed.topics").alias("tags"),
+    )
+
+
+def empty_is_none(col: F.Column) -> F.Column:
+    """N3: trim; '' → NULL (gitea/src/lib.rs:75-82)."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(None)).otherwise(t)
+
+
+def normalize_users(repo_rows: DataFrame, forge_url_col: str = "forge_url") -> DataFrame:
+    """N2 ``to_user``: one candidate user row per wire repo row (dedup is the
+    caller's job — keep-first in crawl order, D5)."""
+    return repo_rows.select(
+        F.col(forge_url_col).alias("hostname"),
+        F.col("owner_username").alias("username"),
+        F.concat(F.lit("https://"), F.col("hostname"), F.lit("/"), F.col("owner_username")).alias(
+            "html_link"
+        ),
+        F.col("owner_avatar_url").alias("profile_photo"),
+        F.lit(False).alias("imported"),
+        "page",
+        "idx_in_page",
+    )
+
+
+def normalize_repositories(
+    repo_rows: DataFrame, topics: DataFrame, forge_url_col: str = "forge_url"
+) -> DataFrame:
+    """N3 + J4: attach tags with one grouped join (replaces the reference's
+    per-repo N+1 topics lookup, db/db-sqlx-sqlite/src/lib.rs:774-795)."""
+    joined = repo_rows.join(
+        topics, on=["hostname", "owner_username", "name"], how="left"
+    )
+    return joined.select(
+        F.col(forge_url_col).alias("hostname"),
+        F.col("owner_username").alias("owner"),
+        "name",
+        F.col("description"),
+        empty_is_none(F.col("website")).alias("website"),
+        "html_url",
+        "tags",
+        F.lit(False).alias("imported"),
+        "page",
+        "idx_in_page",
+    )
+
+
+def dispatch(docs: DataFrame, seed_forges: DataFrame) -> DataFrame:
+    """N1: attach forge_type via broadcast join of the (tiny) seed table.
+
+    Parsers for other forge types (github, sourcehut) register here as they
+    land; unknown types surface as ``forge_type IS NULL`` rows the engine
+    reports rather than silently dropping (the reference panics with
+    ``unimplemented!``, src/spider.rs:41)."""
+    dims = seed_forges.select(
+        F.col("hostname").alias("forge_url"), "forge_type", "forge_id"
+    ).withColumn("host", F.regexp_extract("forge_url", r"^https?://([^/]+)/?", 1))
+    return docs.join(
+        F.broadcast(dims), docs["hostname"] == dims["host"], "left"
+    ).drop("host")

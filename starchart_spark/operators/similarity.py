@@ -1,0 +1,205 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+- **brute-force cosine top-k** — the exactness baseline. Query vectors are
+  broadcast as one dense numpy matrix; each corpus partition computes a
+  blocked matrix product (`mapInPandas`, Arrow batches) and keeps its local
+  top-k, then a single global top-k window finishes. Shuffle volume is
+  O(#queries · k · partitions), never O(N).
+- **LSH-bucketed ANN** — random-hyperplane signatures (deterministic seed)
+  bucket the corpus; queries probe their own bucket (+ optional multi-probe),
+  exact cosine reranks candidates. The scale path when #queries is large.
+
+Determinism: similarities are rounded to 6 dp and ties break on vec_id, so
+results are stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("q_id", T.LongType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("sim", T.DoubleType(), False),
+    ]
+)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    Output: (q_id, vec_id, sim, rank), rank 1..k by (sim desc, vec_id asc).
+    """
+    q = queries.select(q_id_col, vec_col).toPandas()
+    q_ids = q[q_id_col].to_numpy(dtype=np.int64)
+    q_mat = _normalize(np.stack(q[vec_col].to_numpy()).astype(np.float64))
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_l, q_mat_l = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            sims = q_mat_l @ mat.T  # (Q, B)
+            if not include_self:
+                mask = q_ids_l[:, None] == ids[None, :]
+                sims = np.where(mask, -np.inf, sims)
+            kk = min(k, sims.shape[1])
+            # local top-k per query (argpartition: O(B) per query)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(q_ids_l, kk)
+            rows_v = ids[part.ravel()]
+            rows_s = np.take_along_axis(sims, part, axis=1).ravel()
+            keep = np.isfinite(rows_s)
+            yield pd.DataFrame(
+                {"q_id": rows_q[keep], "vec_id": rows_v[keep],
+                 "sim": np.round(rows_s[keep], 6)}
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(_partial, _TOPK_SCHEMA)
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs_exact(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold, via JVM-side array arithmetic
+    (zip_with + aggregate — whole-stage codegen, no Python).
+
+    O(N²) — the small-N oracle for the LSH path; embedding near-dup over a
+    candidate set in practice.
+    """
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+
+    a = corpus.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )
+
+
+def hyperplane_signatures(
+    spark: SparkSession,
+    df: DataFrame,
+    n_planes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign pattern packed into a
+    long). Deterministic in (seed, n_planes, dim)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    bc = spark.sparkContext.broadcast(planes)
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType(), False)])
+
+    def _buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pl = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (mat @ pl.T) > 0  # (B, n_planes)
+            weights = (1 << np.arange(pl.shape[0], dtype=np.int64))[None, :]
+            pdf = pdf.copy()
+            pdf[out_col] = (signs * weights).sum(axis=1)
+            yield pdf
+
+    return df.mapInPandas(_buckets, schema)
+
+
+def ann_topk_lsh(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: same-bucket candidates, exact cosine rerank.
+
+    Recall is tunable via n_planes (fewer planes → bigger buckets → higher
+    recall & cost). Reported sims are exact for the returned candidates.
+    """
+    c_sig = hyperplane_signatures(spark, corpus, n_planes, dim, seed, id_col, vec_col)
+    q_sig = hyperplane_signatures(spark, queries, n_planes, dim, seed, id_col, vec_col)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+
+    cand = q_sig.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+        "bucket",
+    ).join(
+        c_sig.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("vc"),
+            "bucket",
+        ),
+        "bucket",
+    ).filter(F.col("q_id") != F.col("vec_id"))
+    dot = F.aggregate(
+        F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = cand.withColumn(
+        "sim", F.round(dot / (norm(F.col("vq")) * norm(F.col("vc"))), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.select("q_id", "vec_id", "sim")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

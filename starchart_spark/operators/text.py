@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines.
+
+These run over a ``documents(doc_id, text, ...)`` corpus at 100 TB scale, so
+everything is built from JVM-side ``pyspark.sql.functions`` (whole-stage
+codegen; filters and projections push to the parquet scan). No Python in any
+of these paths.
+
+Design for oracle-parity: each operator's arithmetic is defined so the exact
+same computation is expressible in ANSI SQL (DuckDB), making the operators
+verifiable end-to-end — see ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+# tiny marker-word sets for the n-gram-free language-ID heuristic; scoring is
+# |tokens ∩ markers| per language, argmax with lexicographic tiebreak
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "mit"],
+    "en": ["the", "a", "and", "of", "to", "is", "in", "that"],
+    "es": ["el", "la", "los", "que", "y", "de", "un", "una"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "is", "in", "that", "it"]
+
+# rolling-hash fingerprint parameters (token-order sensitive)
+FP_MULT = 1_000_003
+FP_MOD = 2_147_483_647  # 2^31 - 1
+
+
+def tokens(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(c), TOKEN_SPLIT)
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features.
+
+    All ratios are double arithmetic over counts, so bit-stable across
+    engines. ``quality_score`` is a simple bounded combination used for
+    threshold filtering of low-quality documents.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[.,;:!?'\"()\[\]{}]", ""))
+    toks = tokens(c)
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    # distinct stopwords present / tokens — deliberately set-based so the SQL
+    # oracle (array intersect) is exact
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("punct_ratio", (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))))
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                (F.length(F.regexp_replace(c, r"\s+", "")).cast("double"))
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            "stopword_hits", n_stop.cast("long")
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+                + F.least(F.col("stopword_hits") / F.lit(5.0), F.lit(1.0)) * 0.3
+                + (1.0 - F.least(F.col("punct_ratio") * 10.0, F.lit(1.0))) * 0.2,
+                6,
+            ),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Marker-word language ID: argmax over per-language hit counts,
+    lexicographic language-code tiebreak, 'und' (undetermined) when all 0."""
+    toks = tokens(F.col(text_col))
+    scored = df
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers])))
+        scored = scored.withColumn(f"__score_{lang}", hits)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"__score_{la}") for la in langs])
+    pick = F.lit("und")
+    for la in reversed(langs):  # earlier language wins ties → apply in reverse
+        pick = F.when(
+            (F.col(f"__score_{la}") == best) & (best > 0), F.lit(la)
+        ).otherwise(pick)
+    out = scored.withColumn(out_col, pick)
+    return out.drop(*[f"__score_{la}" for la in langs])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Order-sensitive rolling document fingerprint.
+
+    h = fold(tokens, 0, (acc, t) -> (acc*FP_MULT + length(t)*131 + ascii(t)) % FP_MOD)
+
+    Portable arithmetic (same fold runs in DuckDB via list_reduce), token-order
+    sensitive (a permuted document fingerprints differently), and cheap: one
+    pass, JVM-side ``aggregate`` — no shuffle at all.
+    """
+    toks = tokens(F.col(text_col))
+    h = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_MULT + F.length(t) * 131 + F.coalesce(F.ascii(t), F.lit(0)))
+        % FP_MOD,
+    )
+    return df.withColumn(out_col, h)

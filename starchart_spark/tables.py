@@ -1,0 +1,193 @@
+"""Canonical table schemas for the crawl engine.
+
+The normalized data model reproduces the reference's SQLite migrations
+(/root/reference/db/db-sqlx-sqlite/migrations/20220405113942_world_forges.sql:8-52)
+and entity structs (/root/reference/db/db-core/src/lib.rs:91-180), re-laid-out
+for columnar storage:
+
+- FK chains (hostname_id, owner_id) are denormalized into natural-key columns
+  — at 10^10 rows, join keys beat surrogate-id lookups and enable hash
+  partitioning by host.
+- the repo↔topic mapping table becomes a ``tags array<string>`` column
+  (the reference's own in-memory form, forge/forge-core/src/lib.rs:160-180).
+- the mandated input table ``documents(doc_id, spans)`` carries interleaved
+  text + media spans; span order is the per-row invariant (BASELINE.json
+  input_hint) and must be restored by ``offset`` after any explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Mandated input table (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+SPAN = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),  # api_json | html | media
+        T.StructField("text", T.StringType(), True),  # null for media spans
+        T.StructField("media_ref", T.StringType(), True),  # null for text spans
+        T.StructField("offset", T.IntegerType(), False),
+    ]
+)
+
+DOCUMENTS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),  # canonical page URL
+        T.StructField("spans", T.ArrayType(SPAN), False),
+        # layout helpers (hidden-partitioning stand-ins; Iceberg would use
+        # bucket(B, hostname) transforms)
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("host_bucket", T.IntegerType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Frontier / seed (reference: starchart_forges, spider work queue)
+# ---------------------------------------------------------------------------
+
+SEED_FORGES = T.StructType(
+    [
+        T.StructField("forge_id", T.LongType(), False),  # insertion order; ORDER BY ID
+        T.StructField("hostname", T.StringType(), False),  # clean_url'd
+        T.StructField("forge_type", T.StringType(), False),
+        T.StructField("verified_on", T.LongType(), True),
+        T.StructField("last_crawl_on", T.LongType(), True),
+        T.StructField("imported", T.BooleanType(), False),
+        T.StructField("starchart_instance", T.StringType(), True),
+    ]
+)
+
+# one row per fetchable URL; the 10^10-scale explicit frontier
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("host_bucket", T.IntegerType(), False),
+        T.StructField("forge_id", T.LongType(), False),
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),  # search_page | topics
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Consent / politeness directives (reference: DNS TXT, src/dns/mod.rs:20-59,
+# src/verify.rs:44-70)
+# ---------------------------------------------------------------------------
+
+CONSENT = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("verified", T.BooleanType(), False),
+        T.StructField("spidering", T.BooleanType(), False),
+        T.StructField("rate_ms", T.LongType(), True),  # null => global default
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Output entity tables (reference shapes db/db-core/src/lib.rs:91-180)
+# ---------------------------------------------------------------------------
+
+FORGES = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("forge_type", T.StringType(), False),
+        T.StructField("verified_on", T.LongType(), True),
+        T.StructField("last_crawl_on", T.LongType(), True),
+        T.StructField("imported", T.BooleanType(), False),
+        T.StructField("starchart_instance", T.StringType(), True),
+    ]
+)
+
+USERS = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("username", T.StringType(), False),
+        T.StructField("html_link", T.StringType(), False),
+        T.StructField("profile_photo", T.StringType(), True),
+        T.StructField("imported", T.BooleanType(), False),
+    ]
+)
+
+REPOSITORIES = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("owner", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("website", T.StringType(), True),
+        T.StructField("html_url", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("imported", T.BooleanType(), False),
+    ]
+)
+
+# golden visit order: pure function of (forge_id, page, in-page index) —
+# SURVEY.md §3.1; never a function of task scheduling
+CRAWL_ORDER = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("idx_in_page", T.IntegerType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+    ]
+)
+
+# per-partition lineage counters, appended atomically with every batch
+# (north_rule: fetched, deduped, deferred-by-politeness)
+LINEAGE = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("fetched", T.LongType(), False),
+        T.StructField("deduped", T.LongType(), False),
+        T.StructField("deferred_by_politeness", T.LongType(), False),
+    ]
+)
+
+# URL-seen membership keys (SURVEY.md §2.2): three key families
+URL_SEEN = T.StructType(
+    [
+        T.StructField("key_kind", T.StringType(), False),  # forge | user | repo
+        T.StructField("key_hash", T.LongType(), False),
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("key1", T.StringType(), True),  # username / name
+        T.StructField("key2", T.StringType(), True),  # owner (repo only)
+        T.StructField("host_bucket", T.IntegerType(), False),
+    ]
+)
+
+# wire schema of a Gitea repo-search page (subset we consume of
+# /root/reference/forge/gitea/src/schema.rs:22-151)
+GITEA_OWNER = T.StructType(
+    [
+        T.StructField("username", T.StringType(), False),
+        T.StructField("avatar_url", T.StringType(), True),
+        T.StructField("html_url", T.StringType(), True),
+    ]
+)
+
+GITEA_REPO = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("website", T.StringType(), True),
+        T.StructField("html_url", T.StringType(), False),
+        T.StructField("owner", GITEA_OWNER, False),
+    ]
+)
+
+GITEA_SEARCH_RESULTS = T.StructType(
+    [
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("data", T.ArrayType(GITEA_REPO), False),
+    ]
+)
+
+GITEA_TOPICS = T.StructType(
+    [T.StructField("topics", T.ArrayType(T.StringType()), False)]
+)
