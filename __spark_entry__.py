@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001; ``queries()`` /
+``oracle_sql()`` expose the operator registry in
+``starchart_spark/queries.py`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data pipeline suite, each with a DuckDB
+oracle where the semantics are SQL-expressible (approximate ops — LSH ANN,
+SimHash — are rows-only by design and are verified against exact
+recomputation in pytest instead).
 """
 
 from __future__ import annotations
@@ -12,27 +14,37 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from starchart_spark.queries import QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a crawl-shaped training-data pipeline over sf0.001 —
+    canonicalize+hash keys, quality-score and language-ID every document,
+    exact-dedup survivors, aggregate per (source, lang_pred)."""
+    from starchart_spark.operators import dedup_text, text
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    enriched = text.lang_id(text.quality_features(docs))
+    survivors = dedup_text.exact_dedup(docs)
+    kept = enriched.join(survivors, "doc_id")
+    return (
+        kept.groupBy("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source", "lang_pred")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

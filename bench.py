@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""Benchmark harness: frontier throughput + headline operator queries.
+
+Prints ONE JSON line:
+    {"metric": "frontier URLs scheduled+deduped per sec", "value": N,
+     "unit": "sec", "queries": {...per-query seconds...}, "sf": ...,
+     "frontier": {...counters...}, "cpus": N}
+
+The headline metric matches BASELINE.json: a synthetic URL frontier
+(deterministic, generated *inside Spark* — no driver-side loops) goes
+through the full scheduling path: canonicalize (vectorized pandas UDF) →
+key-hash (JVM xxhash64) → partitioned-bloom probe → exact anti-join confirm
+against the pre-seen set → per-host politeness slot assignment → budget
+split. Throughput = frontier rows / wall time of that pipeline.
+
+Skew is built in: ~20% of the frontier lands on one mega-host (the
+github.com analog); politeness ordering still groups by host while the
+dedup path spreads by (host, salt).
+
+Scaling evidence (north_rule ≥0.8 efficiency between N and 4N): run
+``python bench.py`` with SPARK_GRAFT_CPUS=8 and =32 on the same input —
+``scaling_bench.py`` automates the two runs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from starchart_spark.functions.urls import canonicalize_udf, host_bucket  # noqa: E402
+from starchart_spark.operators import bloom as bloom_mod  # noqa: E402
+from starchart_spark.operators import dedup, politeness  # noqa: E402
+from starchart_spark.queries import QUERIES  # noqa: E402
+from starchart_spark.session import get_spark  # noqa: E402
+
+HEADLINE_QUERIES = [
+    "three_way_join",
+    "keep_first_window",
+    "sliding_limiter",
+    "mini_index",
+    "url_canonicalize",
+    "seen_anti_join",
+    "exact_dedup",
+    "minhash_lsh_dupes",
+    "embedding_topk",
+    "two_phase_count",
+    "quality_features",
+    "lang_id",
+    "fingerprint",
+    "token_count",
+]
+
+N_HOSTS = 997  # prime, plus host 0 = mega-forge
+SEEN_FRACTION = 0.3
+HOST_BUCKETS = 64
+
+
+def synth_frontier(spark, n_urls: int):
+    """Deterministic skewed frontier, generated JVM-side from spark.range."""
+    df = spark.range(n_urls).withColumn(
+        "host_id",
+        F.when(F.col("id") % 5 == 0, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64("id"), F.lit(N_HOSTS)) + 1
+        ),
+    )
+    return df.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://Forge-"),
+            F.col("host_id").cast("string"),
+            F.lit(".Test/repo/"),
+            (F.col("id") % (n_urls // 2)).cast("string"),  # ~2x duplication of keys
+            F.lit("?page=1#frag"),
+        ),
+    )
+
+
+def _keyed(frontier):
+    """Canonical page key: canonical host (D1 UDF) + path identity."""
+    return (
+        frontier.withColumn("canon", canonicalize_udf(F.col("url")))
+        .withColumn(
+            "page_key",
+            F.concat(F.col("canon"), F.regexp_extract("url", r"\.Test(/[^?#]*)", 1)),
+        )
+        .withColumn("key_hash", F.xxhash64("page_key"))
+        .withColumn("host_bucket", host_bucket("canon", HOST_BUCKETS))
+        .withColumn("hostname", F.col("canon"))
+    )
+
+
+def frontier_pipeline(spark, n_urls: int) -> dict:
+    frontier = synth_frontier(spark, n_urls)
+    # pre-seen set (prior crawl cycles) — setup, not part of the measured job
+    seen = (
+        _keyed(frontier.filter(F.col("id") < int(n_urls * SEEN_FRACTION)))
+        .select("key_hash", "host_bucket")
+        .dropDuplicates(["key_hash"])
+        .persist()
+    )
+    seen.count()
+
+    t0 = time.time()
+    # stage 1: rebuild partitioned bloom from the seen table (resume path)
+    filters = bloom_mod.build(seen).persist()
+    filters.count()
+    # stage 2: canonicalize → hash → bloom probe (cache: probed feeds both
+    # branches of the probe-then-confirm filter)
+    probed = bloom_mod.probe(spark, _keyed(frontier), filters).persist()
+    probed.count()
+    # stage 3: confirm + in-frontier keep-first + politeness slots + counters
+    fresh = dedup.seen_filter(probed, seen, ["key_hash"], "maybe_seen")
+    uniq = dedup.keep_first(fresh, ["key_hash"], ["id"]).withColumn(
+        "effective_rate_ms", F.lit(100).cast("long")
+    )
+    slotted = politeness.assign_slots_window(uniq, ["id"])
+    budget_ms = 60_000_000
+    row = slotted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("slot_ms") >= budget_ms).cast("long")).alias("deferred"),
+    ).collect()[0]
+    elapsed = time.time() - t0
+
+    n_deferred = int(row["deferred"] or 0)
+    n_scheduled = int(row["n"]) - n_deferred
+    seen.unpersist()
+    filters.unpersist()
+    probed.unpersist()
+    return {
+        "n_urls": n_urls,
+        "scheduled": n_scheduled,
+        "deferred": n_deferred,
+        "deduped": n_urls - n_scheduled - n_deferred,
+        "elapsed_s": round(elapsed, 3),
+        "urls_per_sec": round(n_urls / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_urls = int(os.environ.get("STARCHART_BENCH_URLS", "2000000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark(
+        app_name="starchart-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+    )
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE_QUERIES:
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    stats = frontier_pipeline(spark, n_urls)
+
+    out = {
+        "metric": "frontier URLs scheduled+deduped per sec",
+        "value": stats["urls_per_sec"],
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier": stats,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,8 +40,13 @@ FILTER_SCHEMA = T.StructType(
 )
 
 
+_FP_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
 def _fingerprint(h: np.ndarray) -> np.ndarray:
-    fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+    # mix before truncating: raw top bits of small/sequential keys collide
+    mixed = (h ^ (h >> np.uint64(32))) * _FP_GOLDEN
+    fp = ((mixed >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
     fp[fp == 0] = 1  # 0 marks an empty slot
     return fp
 

@@ -51,8 +51,15 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = SHINGLE_N) -> DataFrame:
     """Distinct token n-gram shingles per document: (id, shingle)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]))
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))  # docs shorter than n: no shingles
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .dropDuplicates([id_col, "shingle"])
@@ -238,10 +245,15 @@ def simhash64(
             h = grp["th"].to_numpy(dtype=np.int64).view(np.uint64)
             bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
             v = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            sh = (np.packbits((v > 0).astype(np.uint8)[::-1])[::-1]).view(np.uint64)[0]
+            sh = int(
+                ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                    dtype=np.uint64
+                )
+            )
+            if sh >= 1 << 63:  # two's-complement into LongType
+                sh -= 1 << 64
             ids.append(doc)
-            hs.append(np.int64(sh))
+            hs.append(sh)
         return pd.DataFrame({id_col: ids, "simhash": hs})
 
     return tok.groupBy(id_col).applyInPandas(_sim, out_schema)
@@ -260,17 +272,16 @@ def simhash_near_dupes(
     blocks = max_hamming + 1
     width = 64 // blocks
     sig = simhash64(spark, df, id_col, text_col)
+    block_cols = [
+        F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        for bi in range(blocks)
+    ]
     banded = sig.select(
         F.col(id_col),
         "simhash",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(blocks - 1)),
-                lambda bi: F.shiftrightunsigned(F.col("simhash"), bi * width).bitwiseAND(
-                    F.lit((1 << width) - 1)
-                ),
-            )
-        ).alias("block", "key"),
+        F.posexplode(F.array(*block_cols)).alias("block", "key"),
     )
     pairs = (
         banded.alias("x")

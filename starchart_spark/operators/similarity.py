@@ -128,31 +128,39 @@ def cosine_pairs_exact(
 def hyperplane_signatures(
     spark: SparkSession,
     df: DataFrame,
-    n_planes: int = 16,
+    n_planes: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id per vector (sign pattern packed into a
-    long). Deterministic in (seed, n_planes, dim)."""
+    """Multi-table random-hyperplane LSH: one row per (vector, table) with a
+    bucket id packing (table, sign pattern). Deterministic in (seed,
+    n_planes, n_tables, dim). Recall for a pair at angle θ is
+    1 - (1 - (1-θ/π)^n_planes)^n_tables."""
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
     bc = spark.sparkContext.broadcast(planes)
     schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType(), False)])
 
     def _buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pl = bc.value
+        tables, p, _ = pl.shape
+        weights = (1 << np.arange(p, dtype=np.int64))[None, :]
         for pdf in batches:
             if not len(pdf):
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            signs = (mat @ pl.T) > 0  # (B, n_planes)
-            weights = (1 << np.arange(pl.shape[0], dtype=np.int64))[None, :]
-            pdf = pdf.copy()
-            pdf[out_col] = (signs * weights).sum(axis=1)
-            yield pdf
+            outs = []
+            for t in range(tables):
+                signs = (mat @ pl[t].T) > 0  # (B, p)
+                code = (signs * weights).sum(axis=1)
+                out = pdf.copy()
+                out[out_col] = (np.int64(t) << 32) | code
+                outs.append(out)
+            yield pd.concat(outs, ignore_index=True)
 
     return df.mapInPandas(_buckets, schema)
 
@@ -162,19 +170,22 @@ def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: same-bucket candidates, exact cosine rerank.
-
-    Recall is tunable via n_planes (fewer planes → bigger buckets → higher
-    recall & cost). Reported sims are exact for the returned candidates.
-    """
-    c_sig = hyperplane_signatures(spark, corpus, n_planes, dim, seed, id_col, vec_col)
-    q_sig = hyperplane_signatures(spark, queries, n_planes, dim, seed, id_col, vec_col)
+    """Approximate top-k: same-bucket candidates in any table, exact cosine
+    rerank. n_planes trades bucket size vs selectivity; n_tables buys recall.
+    Reported sims are exact for the returned candidates."""
+    c_sig = hyperplane_signatures(
+        spark, corpus, n_planes, n_tables, dim, seed, id_col, vec_col
+    )
+    q_sig = hyperplane_signatures(
+        spark, queries, n_planes, n_tables, dim, seed, id_col, vec_col
+    )
 
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
@@ -190,7 +201,7 @@ def ann_topk_lsh(
             "bucket",
         ),
         "bucket",
-    ).filter(F.col("q_id") != F.col("vec_id"))
+    ).filter(F.col("q_id") != F.col("vec_id")).dropDuplicates(["q_id", "vec_id"])
     dot = F.aggregate(
         F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )

@@ -1,0 +1,739 @@
+"""Operator-level query registry for the driver's correctness gate.
+
+Each entry maps one operator from SURVEY.md §2 (plus the training-data
+pipeline suite) onto the driver-provided testdata tables, together with the
+ANSI-SQL oracle DuckDB runs on the same parquet. Column names and value
+arithmetic are chosen to be engine-portable (identical aliases both sides,
+round() on derived doubles, deterministic tiebreaks on every top-k/window).
+
+Registry shape: ``QUERIES[name] = (spark_fn, oracle_sql_or_None)``.
+``oracle_sql=None`` marks genuinely approximate/non-SQL ops (LSH ANN,
+SimHash) — the driver records a weaker rows-only check for those; their
+exactness is covered by pytest against exact recomputation instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from starchart_spark.functions.urls import canonicalize_udf, hostname_udf
+from starchart_spark.operators import dedup, dedup_text, politeness, similarity, skew, text
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# a synthetic messy-URL column used by the D1/N7 parity queries: built from
+# customer keys so both engines derive it identically
+_URL_SQL = "'HTTPS://Forge-' || (c_custkey % 50) || '.Test:8443/p/' || c_custkey || '?q=1#f'"
+
+
+def _url_col() -> F.Column:
+    return F.concat(
+        F.lit("HTTPS://Forge-"),
+        (F.col("c_custkey") % 50).cast("string"),
+        F.lit(".Test:8443/p/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?q=1#f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl-core operators (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q_frontier_scan(spark, sf_dir):
+    """S1: seed/frontier scan — filtered, insertion-ordered page of work."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .orderBy("c_custkey")
+        .limit(100)
+        .select(
+            F.col("c_custkey").alias("forge_id"), F.col("c_name").alias("hostname")
+        )
+    )
+
+
+SQL_FRONTIER_SCAN = """
+SELECT c_custkey AS forge_id, c_name AS hostname
+FROM customer WHERE c_mktsegment = 'MACHINERY'
+ORDER BY c_custkey LIMIT 100
+"""
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """D1: canonicalize-then-hash — the real vectorized pandas UDF path
+    (clean_url semantics, db/db-core/src/lib.rs:81-89)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("url", _url_col())
+        .select(
+            "c_custkey", canonicalize_udf(F.col("url")).alias("canonical_url")
+        )
+    )
+
+
+SQL_URL_CANONICALIZE = f"""
+SELECT c_custkey,
+       'https://' || lower('Forge-' || (c_custkey % 50) || '.Test') || ':8443/' AS canonical_url
+FROM customer
+"""
+
+
+def q_hostname_extract(spark, sf_dir):
+    """N7: get_hostname (federate/federate-core/src/lib.rs:100-102)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("url", _url_col())
+        .select("c_custkey", hostname_udf(F.col("url")).alias("hostname"))
+    )
+
+
+SQL_HOSTNAME_EXTRACT = """
+SELECT c_custkey, lower('Forge-' || (c_custkey % 50) || '.Test') AS hostname
+FROM customer
+"""
+
+
+def q_seen_anti_join(spark, sf_dir):
+    """D2-D4: exists-gate as left_anti join — customers never seen in orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return dedup.anti_join_seen(customer, orders, ["c_custkey"]).select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_SEEN_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_keep_first_window(spark, sf_dir):
+    """D5: deterministic keep-first (first event per user in event order) —
+    row_number window, never dropDuplicates."""
+    ev = _t(spark, sf_dir, "events")
+    first = dedup.keep_first(ev, ["user_id"], ["ts", "event_id"])
+    return first.select("user_id", "event_id", "event_type")
+
+
+SQL_KEEP_FIRST_WINDOW = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_in_batch_tag_dedup(spark, sf_dir):
+    """D6: HashSet tag dedup — distinct sorted set per group."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+                "event_types"
+            )
+        )
+    )
+
+
+SQL_IN_BATCH_TAG_DEDUP = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_collect_topics(spark, sf_dir):
+    """J4: per-repo topics as ONE grouped join+collect (replaces the
+    reference's N+1 per-repo lookup, db/db-sqlx-sqlite/src/lib.rs:774-795)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set(F.col("l_partkey").cast("string"))), ","
+            ).alias("parts")
+        )
+    )
+
+
+SQL_COLLECT_TOPICS = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(DISTINCT l_partkey::VARCHAR)), ',') AS parts
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_broadcast_dims_join(spark, sf_dir):
+    """J1/J2: tiny-dimension lookup as an explicit broadcast hash join."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+    )
+
+
+SQL_BROADCAST_DIMS_JOIN = """
+SELECT n_nationkey, n_name, r_name AS region_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_three_way_join(spark, sf_dir):
+    """J3: repositories⋈forges⋈users shape — 3-way equi-join + aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+SQL_THREE_WAY_JOIN = """
+SELECT c_mktsegment, count(*) AS n_lineitems, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_merge_insert_new_keys(spark, sf_dir):
+    """S5-S7 MERGE semantics: keys in the incoming batch absent from the
+    seen set (first writer wins; later batch inserts only novel keys)."""
+    o = _t(spark, sf_dir, "orders")
+    seen = o.filter(F.col("o_orderdate") < "1995-01-01").select("o_custkey").distinct()
+    incoming = o.filter(F.col("o_orderdate") >= "1995-01-01").select("o_custkey").distinct()
+    return incoming.join(seen, "o_custkey", "left_anti").select(
+        F.col("o_custkey").alias("new_custkey")
+    )
+
+
+SQL_MERGE_INSERT_NEW_KEYS = """
+SELECT DISTINCT o_custkey AS new_custkey FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+  AND o_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate < DATE '1995-01-01')
+"""
+
+
+def q_mini_index(spark, sf_dir):
+    """A1/D7: mini-index — unique words per source (case-sensitive), with
+    count + lexicographic extremes (the full space-joined string, compactly)."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return words.groupBy("source").agg(
+        F.countDistinct("word").alias("n_words"),
+        F.min("word").alias("first_word"),
+        F.max("word").alias("last_word"),
+    )
+
+
+SQL_MINI_INDEX = r"""
+SELECT source, count(DISTINCT word) AS n_words,
+       min(word) AS first_word, max(word) AS last_word
+FROM (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+) WHERE word <> '' GROUP BY source
+"""
+
+
+def q_sliding_limiter(spark, sf_dir):
+    """P6/A4: leaky-bucket as a trailing range-window count (54 s, threshold
+    50 — src/search.rs:78-90); report each user's max in-window count."""
+    ev = _t(spark, sf_dir, "events")
+    counted = politeness.sliding_limiter(ev, "user_id", "ts")
+    return counted.groupBy("user_id").agg(
+        F.max("window_count").alias("max_in_window"),
+        F.max(F.col("over_limit").cast("int")).alias("ever_over"),
+    )
+
+
+SQL_SLIDING_LIMITER = """
+SELECT user_id, max(cnt) AS max_in_window,
+       max(CASE WHEN cnt > 50 THEN 1 ELSE 0 END) AS ever_over
+FROM (
+  SELECT user_id, count(*) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 54 SECONDS PRECEDING AND CURRENT ROW) AS cnt
+  FROM events
+) GROUP BY user_id
+"""
+
+
+def q_politeness_slots(spark, sf_dir):
+    """P1/P2: token-bucket slot assignment (rate 2000 ms) per host in crawl
+    order — the window fast path of the scheduler."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumnRenamed("user_id", "hostname")
+        .withColumn("effective_rate_ms", F.lit(2000).cast("long"))
+    )
+    out = politeness.assign_slots_window(ev, ["ts", "event_id"])
+    return out.select(
+        F.col("hostname").alias("user_id"), "event_id", "slot_ms"
+    )
+
+
+SQL_POLITENESS_SLOTS = """
+SELECT user_id, event_id,
+       (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 2000 AS slot_ms
+FROM events
+"""
+
+
+def q_deferred_by_budget(spark, sf_dir):
+    """Politeness deferral accounting: rows whose slot exceeds the batch
+    budget (north_rule lineage counter), per host."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumnRenamed("user_id", "hostname")
+        .withColumn("effective_rate_ms", F.lit(2000).cast("long"))
+    )
+    slotted = politeness.assign_slots_window(ev, ["ts", "event_id"])
+    _, deferred = politeness.split_by_budget(slotted, budget_ms=100_000)
+    return deferred.groupBy(F.col("hostname").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_deferred")
+    )
+
+
+SQL_DEFERRED_BY_BUDGET = """
+SELECT user_id, count(*) AS n_deferred FROM (
+  SELECT user_id,
+         (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) * 2000 AS slot_ms
+  FROM events
+) WHERE slot_ms >= 100000 GROUP BY user_id
+"""
+
+
+def q_pagination_slice(spark, sf_dir):
+    """§2.7: ORDER BY id LIMIT/OFFSET pagination as a window slice (page 3,
+    10/page)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 20) & (F.col("rn") <= 30))
+        .select("c_custkey", "c_name")
+    )
+
+
+SQL_PAGINATION_SLICE = """
+SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 10 OFFSET 20
+"""
+
+
+def q_wildcard_search(spark, sf_dir):
+    """N9/J5: wildcarded contains-search over the corpus."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").like("%window merge%"))
+        .select("doc_id", "source")
+    )
+
+
+SQL_WILDCARD_SEARCH = """
+SELECT doc_id, source FROM documents WHERE text LIKE '%window merge%'
+"""
+
+
+def q_empty_is_none(spark, sf_dir):
+    """N3: empty_is_none — trim, ''→NULL (gitea/src/lib.rs:75-82), applied to
+    a synthesized sometimes-empty column."""
+    from starchart_spark.operators.normalize import empty_is_none
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "website", F.when(F.col("doc_id") % 3 == 0, F.lit("  ")).otherwise(F.col("lang"))
+    )
+    return d.select("doc_id", empty_is_none(F.col("website")).alias("website"))
+
+
+SQL_EMPTY_IS_NONE = """
+SELECT doc_id, nullif(trim(CASE WHEN doc_id % 3 = 0 THEN '  ' ELSE lang END), '') AS website
+FROM documents
+"""
+
+
+def q_props_parse(spark, sf_dir):
+    """N10: k=v / wire-JSON config parse — typed extraction from the props
+    payload (regex; identical pattern both engines)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long").alias("k_val"),
+        )
+    )
+
+
+SQL_PROPS_PARSE = """
+SELECT event_id, CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k_val
+FROM events
+"""
+
+
+def q_epoch_days(spark, sf_dir):
+    """N8: epoch timestamps → day buckets, counted."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_EPOCH_DAYS = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """§2.7: deterministic top-k (no heap in the reference; Spark TakeOrdered)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_union_distinct(spark, sf_dir):
+    """§2.8: INSERT OR IGNORE = union-distinct of two batches."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    b = ev.filter(F.col("value") > 0).select("user_id")
+    return a.union(b).distinct()
+
+
+SQL_UNION_DISTINCT = """
+SELECT user_id FROM events WHERE event_id % 2 = 0
+UNION
+SELECT user_id FROM events WHERE value > 0
+"""
+
+
+def q_two_phase_count(spark, sf_dir):
+    """A3 + skew: per-key counters via salted two-phase aggregation (partial
+    per (key, salt), final per key) — same totals as a plain GROUP BY."""
+    ev = _t(spark, sf_dir, "events")
+    salted = skew.with_salt(ev, 16, ["event_id"])
+    return skew.two_phase_count(salted, ["event_type"], count_col="n")
+
+
+SQL_TWO_PHASE_COUNT = """
+SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: min doc_id per identical text (hash-groupBy)."""
+    return dedup_text.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+_SQL_JACCARD_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+  ) AS shingle
+  FROM toks WHERE len(t) >= 3
+), sz AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.8
+"""
+
+
+def q_ngram_jaccard_dupes(spark, sf_dir):
+    """Exact token-3-gram Jaccard near-dup pairs (threshold 0.8)."""
+    return dedup_text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.8)
+
+
+SQL_NGRAM_JACCARD_DUPES = _SQL_JACCARD_PAIRS
+
+
+def q_minhash_lsh_dupes(spark, sf_dir):
+    """MinHash(64)+LSH(16×4) candidates, exact-Jaccard-verified at 0.8 — the
+    scale path; equals the exact pair set at this threshold (recall
+    1-(1-j⁴)¹⁶ ≈ 1-1e-22 at j=0.99, and verification removes all false
+    positives), so the exact-Jaccard SQL is its oracle."""
+    return dedup_text.minhash_lsh_pairs(spark, _t(spark, sf_dir, "documents"), 0.8)
+
+
+SQL_MINHASH_LSH_DUPES = _SQL_JACCARD_PAIRS
+
+
+def q_simhash_dupes(spark, sf_dir):
+    """SimHash(64) near-dups, Hamming ≤ 3 via block banding. Approximate by
+    design → no SQL oracle; exactness properties covered in pytest."""
+    return dedup_text.simhash_near_dupes(
+        spark, _t(spark, sf_dir, "documents"), max_hamming=3
+    ).select("a_id", "b_id", "hamming")
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenizer)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.token_count("text").cast("long").alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    """Quality scoring: length/punct/stopword features + bounded score."""
+    d = text.quality_features(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "n_tokens", F.round("punct_ratio", 6).alias("punct_ratio"),
+        "stopword_hits", "quality_score",
+    )
+
+
+_STOP_SQL = "['the','a','an','and','of','to','is','in','that','it']"
+
+SQL_QUALITY_FEATURES = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}]', '', 'g')) AS n_punct
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+         round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+         len(list_intersect(toks, {_STOP_SQL}))::BIGINT AS stopword_hits
+  FROM base
+)
+SELECT doc_id, n_tokens, punct_ratio, stopword_hits,
+       round(least(n_tokens / 100.0, 1.0) * 0.5
+             + least(stopword_hits / 5.0, 1.0) * 0.3
+             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality_score
+FROM feat
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID: marker-word hit counts, argmax with lexicographic
+    tiebreak."""
+    return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n         ".join(
+        "len(list_intersect(toks, [{}])) AS s_{}".format(
+            ",".join(f"'{m}'" for m in ms), la
+        )
+        for la, ms in sorted(text.LANG_MARKERS.items())
+    )
+    langs = sorted(text.LANG_MARKERS)
+    best = "greatest({})".format(", ".join(f"s_{la}" for la in langs))
+    case = "CASE " + " ".join(
+        f"WHEN s_{la} = best AND best > 0 THEN '{la}'" for la in langs
+    ) + " ELSE 'und' END"
+    return rf"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), scored AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM toked
+), withbest AS (
+  SELECT *, {best} AS best FROM scored
+)
+SELECT doc_id, {case} AS lang_pred FROM withbest
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (order-sensitive)."""
+    return text.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+SQL_FINGERPRINT = rf"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(regexp_split_to_array(trim(text), '\s+'),
+                          t -> (length(t) * 131 + coalesce(ascii(t), 0))::BIGINT)),
+         (acc, x) -> (acc * {text.FP_MULT} + x) % {text.FP_MOD}
+       ) AS fp
+FROM documents
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5 (exact ANN
+    baseline; deterministic tiebreak on vec_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(spark, emb, queries, k=10)
+    return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+), ranked AS (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs: exact cosine ≥ 0.3 via JVM-side array
+    arithmetic (zip_with/aggregate, no Python)."""
+    return similarity.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), 0.3)
+
+
+SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-10 via multi-table hyperplane LSH + exact rerank.
+    Approximate by design → rows-only check; recall vs brute force asserted
+    in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_lsh(
+        spark, emb, queries, k=10, n_planes=4, n_tables=16
+    ).select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+def q_media_type_dispatch(spark, sf_dir):
+    """Multimodal: typed dispatch of media refs (extension → modality) — the
+    plumbing in operators/multimodal.py over synthesized refs."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://cdn.test/"),
+            F.col("doc_id").cast("string"),
+            F.element_at(
+                F.array(F.lit(".png"), F.lit(".mp4"), F.lit(".ogg"), F.lit("")),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("media_ref"),
+    )
+    ext = F.lower(F.regexp_extract("media_ref", r"\.([a-zA-Z0-9]+)$", 1))
+    media_type = (
+        F.when(ext.isin("png", "jpg", "jpeg", "gif", "webp"), "image")
+        .when(ext.isin("mp3", "ogg", "wav", "flac"), "audio")
+        .when(ext.isin("mp4", "webm", "mkv", "avi"), "video")
+        .otherwise("unknown")
+    )
+    return d.withColumn("media_type", media_type)
+
+
+SQL_MEDIA_TYPE_DISPATCH = """
+SELECT doc_id,
+       'https://cdn.test/' || doc_id ||
+         (['.png', '.mp4', '.ogg', ''])[(doc_id % 4) + 1] AS media_ref,
+       CASE (doc_id % 4)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'video' WHEN 2 THEN 'audio'
+         ELSE 'unknown' END AS media_type
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    # crawl-core (SURVEY.md §2)
+    "frontier_scan": (q_frontier_scan, SQL_FRONTIER_SCAN),
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "hostname_extract": (q_hostname_extract, SQL_HOSTNAME_EXTRACT),
+    "seen_anti_join": (q_seen_anti_join, SQL_SEEN_ANTI_JOIN),
+    "keep_first_window": (q_keep_first_window, SQL_KEEP_FIRST_WINDOW),
+    "in_batch_tag_dedup": (q_in_batch_tag_dedup, SQL_IN_BATCH_TAG_DEDUP),
+    "collect_topics": (q_collect_topics, SQL_COLLECT_TOPICS),
+    "broadcast_dims_join": (q_broadcast_dims_join, SQL_BROADCAST_DIMS_JOIN),
+    "three_way_join": (q_three_way_join, SQL_THREE_WAY_JOIN),
+    "merge_insert_new_keys": (q_merge_insert_new_keys, SQL_MERGE_INSERT_NEW_KEYS),
+    "mini_index": (q_mini_index, SQL_MINI_INDEX),
+    "sliding_limiter": (q_sliding_limiter, SQL_SLIDING_LIMITER),
+    "politeness_slots": (q_politeness_slots, SQL_POLITENESS_SLOTS),
+    "deferred_by_budget": (q_deferred_by_budget, SQL_DEFERRED_BY_BUDGET),
+    "pagination_slice": (q_pagination_slice, SQL_PAGINATION_SLICE),
+    "wildcard_search": (q_wildcard_search, SQL_WILDCARD_SEARCH),
+    "empty_is_none": (q_empty_is_none, SQL_EMPTY_IS_NONE),
+    "props_parse": (q_props_parse, SQL_PROPS_PARSE),
+    "epoch_days": (q_epoch_days, SQL_EPOCH_DAYS),
+    "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
+    "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
+    "two_phase_count": (q_two_phase_count, SQL_TWO_PHASE_COUNT),
+    # training-data pipeline
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "ngram_jaccard_dupes": (q_ngram_jaccard_dupes, SQL_NGRAM_JACCARD_DUPES),
+    "minhash_lsh_dupes": (q_minhash_lsh_dupes, SQL_MINHASH_LSH_DUPES),
+    "simhash_dupes": (q_simhash_dupes, None),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "media_type_dispatch": (q_media_type_dispatch, SQL_MEDIA_TYPE_DISPATCH),
+}

@@ -1,0 +1,106 @@
+"""Seen-set membership: keep-first determinism (D5), anti-join gates
+(D2-D4), and the bloom/cuckoo filter contract (probe-then-confirm never
+flips an answer)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from starchart_spark.operators import bloom, cuckoo, dedup
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    rows = [(i, f"host-{i % 7}", i % 16) for i in range(2000)]
+    return spark.createDataFrame(rows, ["key_hash", "hostname", "host_bucket"])
+
+
+def test_keep_first_deterministic(spark):
+    rows = [
+        ("h1", "bot", 1, 2, "second"),
+        ("h1", "bot", 1, 1, "first"),
+        ("h1", "bot", 2, 1, "later-page"),
+        ("h1", "alice", 1, 3, "only"),
+    ]
+    df = spark.createDataFrame(rows, ["hostname", "username", "page", "idx", "tag"])
+    out = dedup.keep_first(df, ["hostname", "username"], ["page", "idx"])
+    got = {(r["username"], r["tag"]) for r in out.collect()}
+    assert got == {("bot", "first"), ("alice", "only")}
+
+
+def test_anti_join_seen(spark):
+    cands = spark.createDataFrame([("a",), ("b",), ("c",)], ["k"])
+    seen = spark.createDataFrame([("b",), ("x",)], ["k"])
+    out = dedup.anti_join_seen(cands, seen, ["k"])
+    assert {r["k"] for r in out.collect()} == {"a", "c"}
+
+
+def test_bloom_no_false_negatives(spark, keyed):
+    filters = bloom.build(keyed)
+    probed = bloom.probe(spark, keyed, filters)
+    # every inserted key must probe "maybe"
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_fpr_reasonable(spark, keyed):
+    filters = bloom.build(keyed)
+    fresh = spark.createDataFrame(
+        [(i + 1_000_000, f"host-{i % 7}", i % 16) for i in range(2000)],
+        ["key_hash", "hostname", "host_bucket"],
+    )
+    probed = bloom.probe(spark, fresh, filters)
+    fp = probed.filter(F.col("maybe_seen")).count()
+    assert fp / 2000 < 0.05  # 10 bits/key ⇒ ~1% expected
+
+
+def test_bloom_missing_bucket_probes_false(spark, keyed):
+    filters = bloom.build(keyed)
+    other = spark.createDataFrame([(1, "h", 999)], ["key_hash", "hostname", "host_bucket"])
+    probed = bloom.probe(spark, other, filters)
+    assert probed.collect()[0]["maybe_seen"] is False
+
+
+def test_seen_filter_same_answers_with_and_without_bloom(spark, keyed):
+    # bucket must be a pure function of the key row (host), identical at
+    # build and probe time — as in the engine (bucket(B, hostname))
+    seen = keyed.filter(F.col("key_hash") < 1000)
+    cands = spark.createDataFrame(
+        [(i + 500, f"host-{(i + 500) % 7}", (i + 500) % 16) for i in range(2000)],
+        ["key_hash", "hostname", "host_bucket"],
+    )  # half overlap with seen
+    filters = bloom.build(seen)
+    probed = bloom.probe(spark, cands, filters)
+    with_bloom = dedup.seen_filter(probed, seen, ["key_hash"], "maybe_seen").drop("maybe_seen")
+    without = dedup.seen_filter(cands, seen, ["key_hash"])
+    a = sorted(r["key_hash"] for r in with_bloom.collect())
+    b = sorted(r["key_hash"] for r in without.collect())
+    assert a == b
+
+
+def test_cuckoo_membership_and_delete():
+    ct = cuckoo.CuckooTable(1000)
+    import numpy as np
+
+    keys = np.arange(1, 1001, dtype=np.int64) * 2654435761
+    for k in keys:
+        assert ct.add(int(k))
+    assert ct.contains_vec(keys).all()
+    # delete half; deleted keys may still collide-in via twins, but the
+    # *other* keys must all remain present (no false negatives on survivors)
+    for k in keys[:500]:
+        assert ct.delete(int(k))
+    assert ct.contains_vec(keys[500:]).all()
+    # deleted keys mostly gone (fingerprint collisions allowed, rare)
+    assert ct.contains_vec(keys[:500]).sum() < 25
+
+
+def test_cuckoo_spark_roundtrip(spark, keyed):
+    filters = cuckoo.build(keyed)
+    probed = cuckoo.probe(spark, keyed, filters)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    fresh = spark.createDataFrame(
+        [(i + 9_000_000, f"host-{i % 7}", i % 16) for i in range(2000)],
+        ["key_hash", "hostname", "host_bucket"],
+    )
+    fp = cuckoo.probe(spark, fresh, filters).filter(F.col("maybe_seen")).count()
+    assert fp / 2000 < 0.05

@@ -1,0 +1,79 @@
+"""ANN / similarity-search operators over the embeddings table."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from starchart_spark.operators import similarity
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def _numpy_topk(pdf, q_ids, k=5):
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for q in q_ids:
+        qv = mat[list(ids).index(q)]
+        sims = np.round(mat @ qv, 6)
+        order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+        out[q] = [(int(v), float(-s)) for s, v in order if v != q][:k]
+    return out
+
+
+def test_brute_force_topk_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    got_df = similarity.brute_force_topk(spark, emb, queries, k=5)
+    got = {}
+    for r in got_df.collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["sim"]))
+    want = _numpy_topk(emb.toPandas(), [0, 1, 2], k=5)
+    for q in (0, 1, 2):
+        got_sorted = [(v, s) for _, v, s in sorted(got[q])]
+        assert got_sorted == want[q]
+
+
+def test_brute_force_partition_invariant(spark, emb):
+    """Top-k must not depend on physical partitioning (local-topk merge)."""
+    queries = emb.filter(F.col("vec_id") < 2)
+    a = similarity.brute_force_topk(spark, emb.repartition(1), queries, k=5)
+    b = similarity.brute_force_topk(spark, emb.repartition(13), queries, k=5)
+    ka = sorted((r["q_id"], r["rank"], r["vec_id"]) for r in a.collect())
+    kb = sorted((r["q_id"], r["rank"], r["vec_id"]) for r in b.collect())
+    assert ka == kb
+
+
+def test_cosine_pairs_exact_jvm(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.001]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r["a_id"], r["b_id"]) for r in similarity.cosine_pairs_exact(df, 0.99).collect()}
+    assert out == {(1, 2)}
+
+
+def test_ann_lsh_recall(spark, emb):
+    """LSH ANN recall@5 vs brute force ≥ 0.6. The synthetic embeddings are
+    near-orthogonal (top-1 cosine ≈ 0.33), the hardest case for hyperplane
+    LSH — few planes + many tables is the right operating point."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(spark, emb, queries, k=5)
+    ann = similarity.ann_topk_lsh(spark, emb, queries, k=5, n_planes=4, n_tables=16)
+    b = {}
+    for r in brute.collect():
+        b.setdefault(r["q_id"], set()).add(r["vec_id"])
+    a = {}
+    for r in ann.collect():
+        a.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(a.get(q, set()) & b[q]) / len(b[q]) for q in b]
+    assert sum(recalls) / len(recalls) >= 0.6
