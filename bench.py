@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from starchart_spark.functions.urls import canonicalize_udf, host_bucket  # noqa: E402
 from starchart_spark.operators import bloom as bloom_mod  # noqa: E402
-from starchart_spark.operators import dedup, politeness  # noqa: E402
+from starchart_spark.operators import dedup, politeness, skew  # noqa: E402
 from starchart_spark.queries import QUERIES  # noqa: E402
 from starchart_spark.session import get_spark  # noqa: E402
 
@@ -63,7 +63,8 @@ HOST_BUCKETS = 64
 
 def synth_frontier(spark, n_urls: int):
     """Deterministic skewed frontier, generated JVM-side from spark.range."""
-    df = spark.range(n_urls).withColumn(
+    parts = spark.sparkContext.defaultParallelism * 2
+    df = spark.range(0, n_urls, 1, parts).withColumn(
         "host_id",
         F.when(F.col("id") % 5 == 0, F.lit(0)).otherwise(
             F.pmod(F.xxhash64("id"), F.lit(N_HOSTS)) + 1
@@ -82,16 +83,23 @@ def synth_frontier(spark, n_urls: int):
 
 
 def _keyed(frontier):
-    """Canonical page key: canonical host (D1 UDF) + path identity."""
-    return (
-        frontier.withColumn("canon", canonicalize_udf(F.col("url")))
-        .withColumn(
-            "page_key",
-            F.concat(F.col("canon"), F.regexp_extract("url", r"\.Test(/[^?#]*)", 1)),
-        )
-        .withColumn("key_hash", F.xxhash64("page_key"))
-        .withColumn("host_bucket", host_bucket("canon", HOST_BUCKETS))
-        .withColumn("hostname", F.col("canon"))
+    """Canonical page key: canonical host (D1 UDF) + path identity.
+
+    Projects NARROW immediately — only (id, hostname, key_hash, host_bucket)
+    survive; the raw url / intermediate strings never reach a shuffle or the
+    cache (at 10^10 rows the 8-byte key is what moves, not the URL bytes).
+    """
+    with_canon = frontier.select(
+        "id", "url", canonicalize_udf(F.col("url")).alias("hostname")
+    )  # separate projection: the Python UDF runs exactly once per row
+    page_key = F.concat(
+        F.col("hostname"), F.regexp_extract("url", r"\.Test(/[^?#]*)", 1)
+    )
+    return with_canon.select(
+        "id",
+        "hostname",
+        F.xxhash64(page_key).alias("key_hash"),
+        host_bucket("hostname", HOST_BUCKETS).alias("host_bucket"),
     )
 
 
@@ -106,25 +114,41 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     )
     seen.count()
 
+    stages: dict[str, float] = {}
     t0 = time.time()
     # stage 1: rebuild partitioned bloom from the seen table (resume path)
     filters = bloom_mod.build(seen).persist()
     filters.count()
-    # stage 2: canonicalize → hash → bloom probe (cache: probed feeds both
-    # branches of the probe-then-confirm filter)
-    probed = bloom_mod.probe(spark, _keyed(frontier), filters).persist()
+    stages["bloom_build"] = round(time.time() - t0, 3)
+    # stage 2: canonicalize → hash, persisted NARROW before the probe.
+    # Chaining two Python UDF stages (canonicalize → probe) in one task
+    # pipeline anti-scales badly (two interleaved Python exchanges per task);
+    # a 120 MB narrow cache between them keeps each Python stage standalone.
+    t1 = time.time()
+    keyed = _keyed(frontier).persist()
+    keyed.count()
+    stages["canonicalize_hash"] = round(time.time() - t1, 3)
+    t1b = time.time()
+    probed = bloom_mod.probe(spark, keyed, filters).persist()
     probed.count()
-    # stage 3: confirm + in-frontier keep-first + politeness slots + counters
-    fresh = dedup.seen_filter(probed, seen, ["key_hash"], "maybe_seen")
-    uniq = dedup.keep_first(fresh, ["key_hash"], ["id"]).withColumn(
-        "effective_rate_ms", F.lit(100).cast("long")
+    keyed.unpersist()
+    stages["bloom_probe"] = round(time.time() - t1b, 3)
+    # stage 3: confirm anti-join + in-frontier keep-first (hash agg, map-side
+    # combine) + skew-proof per-host politeness ranking + counters
+    t2 = time.time()
+    fresh = dedup.seen_filter(probed, seen, ["key_hash"], "maybe_seen").select(
+        "id", "hostname", "key_hash"
     )
-    slotted = politeness.assign_slots_window(uniq, ["id"])
+    uniq = dedup.keep_first_agg(fresh, ["key_hash"], "id")
+    ranked = skew.ranked_by_host(uniq, "hostname", "id")
+    rate_ms = 100
     budget_ms = 60_000_000
+    slotted = ranked.withColumn("slot_ms", (F.col("host_rank") - 1) * rate_ms)
     row = slotted.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("slot_ms") >= budget_ms).cast("long")).alias("deferred"),
     ).collect()[0]
+    stages["confirm_dedup_schedule"] = round(time.time() - t2, 3)
     elapsed = time.time() - t0
 
     n_deferred = int(row["deferred"] or 0)
@@ -137,6 +161,7 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
         "scheduled": n_scheduled,
         "deferred": n_deferred,
         "deduped": n_urls - n_scheduled - n_deferred,
+        "stages_s": stages,
         "elapsed_s": round(elapsed, 3),
         "urls_per_sec": round(n_urls / elapsed, 1),
     }

@@ -44,6 +44,27 @@ def keep_first(
     )
 
 
+def keep_first_agg(
+    df: DataFrame, key_cols: Sequence[str], order_col: str
+) -> DataFrame:
+    """Keep-first as a hash aggregation: ``min_by(struct(*), order)`` per key.
+
+    Same result as ``keep_first`` for a single total-order column, but runs
+    as partial-aggregating hash agg (map-side combine) instead of a full
+    sort-window — the right physical shape when duplicates are common and
+    rows are narrow (e.g. frontier keys). Column order is preserved.
+    """
+    cols = df.columns
+    picked = df.groupBy(*key_cols).agg(
+        F.min_by(F.struct(*[c for c in cols if c not in key_cols]), F.col(order_col)).alias(
+            "__row"
+        )
+    )
+    return picked.select(
+        *key_cols, *[F.col(f"__row.{c}").alias(c) for c in cols if c not in key_cols]
+    ).select(*cols)
+
+
 def anti_join_seen(
     candidates: DataFrame, seen: DataFrame, key_cols: Sequence[str]
 ) -> DataFrame:

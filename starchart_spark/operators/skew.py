@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,6 +66,61 @@ def scaled_salt(
         )
         .drop("__width")
     )
+
+
+def ranked_by_host(
+    df: DataFrame,
+    host_col: str,
+    order_col: str,
+    out_col: str = "host_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-proof per-host dense ranking (1-based) by ``order_col``.
+
+    A plain ``row_number() over (partition by host order by k)`` sorts each
+    host inside ONE task — a mega-forge with 10^8 frontier rows becomes a
+    serial bottleneck. This is the classic two-pass distributed ranking:
+
+    1. range-partition globally by (host, k) — a hot host spans many
+       partitions but stays contiguous and ordered across them;
+    2. count rows per (partition, host); collect that tiny table (≈ #hosts +
+       #partitions rows, because only hosts straddling a boundary appear
+       twice) and turn it into per-(partition, host) prefix offsets;
+    3. local rank within (partition, host) + broadcast-joined offset.
+
+    The expensive sort is the range partitioner's (parallel, balanced); no
+    single task ever holds a whole hot host.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    ranged = df.repartitionByRange(
+        num_partitions, F.col(host_col), F.col(order_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    counts = (
+        ranged.groupBy("__pid", host_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .collect()
+    )
+    # prefix offset per (pid, host): rows of the same host in earlier pids
+    by_host: dict = {}
+    for r in sorted(counts, key=lambda r: (r[host_col], r["__pid"])):
+        acc = by_host.setdefault(r[host_col], [0, {}])
+        acc[1][r["__pid"]] = acc[0]
+        acc[0] += r["__cnt"]
+    offsets = [
+        (h, pid, off) for h, (_, pids) in by_host.items() for pid, off in pids.items()
+    ]
+    off_df = spark.createDataFrame(offsets, [host_col, "__pid", "__off"])
+    w = Window.partitionBy("__pid", host_col).orderBy(F.col(order_col).asc())
+    out = (
+        ranged.withColumn("__local", F.row_number().over(w))
+        .join(F.broadcast(off_df), ["__pid", host_col])
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )
+    return out
 
 
 def two_phase_count(

@@ -47,12 +47,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches: pandas string ops amortize much better at
+        # 64k rows/batch than the 10k default
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
         # runtime bloom-filter join: complements our explicit partitioned
         # bloom seen-filter for large anti-joins
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("STARCHART_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the cluster memory; size it for the
+        # parallelism (32 tasks × shuffle/persist buffers starve an 8g heap)
+        .config("spark.driver.memory", os.environ.get("STARCHART_DRIVER_MEM", "32g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
