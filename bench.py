@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from starchart_spark.functions.urls import canonicalize_udf, host_bucket  # noqa: E402
+from starchart_spark.functions.urls import canonicalize_via_dim, host_bucket  # noqa: E402
 from starchart_spark.operators import bloom as bloom_mod  # noqa: E402
 from starchart_spark.operators import dedup, politeness, skew  # noqa: E402
 from starchart_spark.queries import QUERIES  # noqa: E402
@@ -89,9 +89,7 @@ def _keyed(frontier):
     survive; the raw url / intermediate strings never reach a shuffle or the
     cache (at 10^10 rows the 8-byte key is what moves, not the URL bytes).
     """
-    with_canon = frontier.select(
-        "id", "url", canonicalize_udf(F.col("url")).alias("hostname")
-    )  # separate projection: the Python UDF runs exactly once per row
+    with_canon = canonicalize_via_dim(frontier, "url", "hostname")
     page_key = F.concat(
         F.col("hostname"), F.regexp_extract("url", r"\.Test(/[^?#]*)", 1)
     )
@@ -136,10 +134,15 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     # stage 3: confirm anti-join + in-frontier keep-first (hash agg, map-side
     # combine) + skew-proof per-host politeness ranking + counters
     t2 = time.time()
-    fresh = dedup.seen_filter(probed, seen, ["key_hash"], "maybe_seen").select(
+    # keep-first BEFORE the seen-confirm: both operations key on key_hash, so
+    # Catalyst reuses one exchange, and the anti-join probe side shrinks to
+    # the deduped set
+    uniq0 = dedup.keep_first_agg(
+        probed.select("id", "hostname", "key_hash", "maybe_seen"), ["key_hash"], "id"
+    )
+    uniq = dedup.seen_filter(uniq0, seen, ["key_hash"], "maybe_seen").select(
         "id", "hostname", "key_hash"
     )
-    uniq = dedup.keep_first_agg(fresh, ["key_hash"], "id")
     ranked = skew.ranked_by_host(uniq, "hostname", "id")
     rate_ms = 100
     budget_ms = 60_000_000

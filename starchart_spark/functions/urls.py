@@ -70,6 +70,32 @@ def hostname_udf(urls: pd.Series) -> pd.Series:
     return hostname_series(urls)
 
 
+def canonicalize_via_dim(
+    df, url_col: str, out_col: str = "canonical_host", broadcast_dim: bool = True
+):
+    """Canonicalize at O(distinct host prefixes) instead of O(URLs).
+
+    ``clean_url`` depends only on the ``scheme://authority`` prefix, so the
+    scale path extracts that prefix JVM-side (codegen'd regexp), runs the
+    vectorized pandas canonicalizer over the *distinct* prefixes only (one
+    row per host — 10^6-ish even at a 10^10-URL frontier), and joins the
+    result back. The Arrow UDF still owns the canonicalization semantics;
+    it just stops being invoked 10^4 times per host.
+    """
+    prefix = F.regexp_extract(
+        F.col(url_col), r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1
+    )
+    with_prefix = df.withColumn("__prefix", prefix)
+    dim = (
+        with_prefix.select("__prefix")
+        .distinct()
+        .withColumn(out_col, canonicalize_udf(F.col("__prefix")))
+    )
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    return with_prefix.join(dim, "__prefix", "left").drop("__prefix")
+
+
 def url_hash(col: Column | str) -> Column:
     """64-bit key hash, JVM-side (xxhash64 under whole-stage codegen)."""
     return F.xxhash64(F.col(col) if isinstance(col, str) else col)

@@ -73,3 +73,22 @@ def test_vectorized_throughput_smoke(n):
     out = canonicalize_series(urls)
     assert (time.time() - t0) < 1.0
     assert out.notna().all()
+
+
+def test_canonicalize_via_dim_equals_udf(spark):
+    """The O(distinct-hosts) dim path must agree with the per-row UDF."""
+    from starchart_spark.functions.urls import canonicalize_via_dim
+
+    urls = [
+        (i, f"HTTPS://Forge-{i % 9}.Test:8443/p/{i}?q=1#f") for i in range(500)
+    ] + [(999, "not a url")]
+    df = spark.createDataFrame(urls, ["id", "url"])
+    via_dim = {
+        r["id"]: r["canonical_host"]
+        for r in canonicalize_via_dim(df, "url").collect()
+    }
+    per_row = {
+        r["id"]: r["c"]
+        for r in df.withColumn("c", canonicalize_udf(F.col("url"))).collect()
+    }
+    assert via_dim == per_row
