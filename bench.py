@@ -101,6 +101,16 @@ def _keyed(frontier):
     )
 
 
+def warmup(spark) -> None:
+    """Absorb JVM codegen + Python-worker spawn cost before timing (a real
+    cluster's long-lived executors don't pay this per job)."""
+    from starchart_spark.functions.urls import canonicalize_udf
+
+    df = spark.range(0, 2_000_000, 1, spark.sparkContext.defaultParallelism)
+    df = df.withColumn("u", F.concat(F.lit("https://h"), (F.col("id") % 64).cast("string"), F.lit(".test/x")))
+    df.select(canonicalize_udf("u").alias("x")).groupBy("x").count().count()
+
+
 def frontier_pipeline(spark, n_urls: int) -> dict:
     frontier = synth_frontier(spark, n_urls)
     # pre-seen set (prior crawl cycles) — setup, not part of the measured job
@@ -142,23 +152,34 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     )
     uniq = dedup.seen_filter(uniq0, seen, ["key_hash"], "maybe_seen").select(
         "id", "hostname", "key_hash"
-    )
-    ranked = skew.ranked_by_host(uniq, "hostname", "id")
+    ).persist()
+    uniq.count()  # materialize BEFORE the multi-action fan-out below — a lazy
+    # cache is recomputed when the first actions race over it
+    # budget-bounded scheduling: a host may fetch budget/rate slots per
+    # batch. Hosts under budget schedule everything (no ranking needed);
+    # only over-budget (hot) hosts need the exact rank cutoff — so the
+    # skew-proof ranking runs on the mega-forge subset only.
     rate_ms = 100
     budget_ms = 60_000_000
-    slotted = ranked.withColumn("slot_ms", (F.col("host_rank") - 1) * rate_ms)
-    row = slotted.agg(
+    k_slots = budget_ms // rate_ms
+    host_counts = uniq.groupBy("hostname").agg(F.count(F.lit(1)).alias("__n"))
+    hot_hosts = host_counts.filter(F.col("__n") > k_slots).select("hostname")
+    cold_n = uniq.join(F.broadcast(hot_hosts), "hostname", "left_anti").count()
+    hot = uniq.join(F.broadcast(hot_hosts), "hostname", "left_semi")
+    ranked = skew.ranked_by_host(hot, "hostname", "id")
+    row = ranked.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("slot_ms") >= budget_ms).cast("long")).alias("deferred"),
+        F.sum((F.col("host_rank") > k_slots).cast("long")).alias("deferred"),
     ).collect()[0]
     stages["confirm_dedup_schedule"] = round(time.time() - t2, 3)
     elapsed = time.time() - t0
 
     n_deferred = int(row["deferred"] or 0)
-    n_scheduled = int(row["n"]) - n_deferred
+    n_scheduled = cold_n + int(row["n"]) - n_deferred
     seen.unpersist()
     filters.unpersist()
     probed.unpersist()
+    uniq.unpersist()
     return {
         "n_urls": n_urls,
         "scheduled": n_scheduled,
@@ -190,6 +211,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
 
+    warmup(spark)
     stats = frontier_pipeline(spark, n_urls)
 
     out = {

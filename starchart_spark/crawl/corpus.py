@@ -40,6 +40,9 @@ class CorpusSpec:
     rate_override_ms: int = 500
     base_epoch: int = 1_600_000_000
     extra_owners: int = 0  # >0: repos cycle through bot, user-1..user-k owners
+    # forge types cycle across forges (N1 dispatch fixture); default all-gitea
+    # matches the reference's test corpus exactly
+    forge_types: tuple = ("gitea",)
 
     def host(self, forge_idx: int) -> str:
         return f"forge-{forge_idx:04d}.test"
@@ -55,6 +58,9 @@ class CorpusSpec:
     def owners(self) -> list[str]:
         return ["bot"] + [f"user-{i}" for i in range(1, self.extra_owners + 1)]
 
+    def forge_type(self, forge_idx: int) -> str:
+        return self.forge_types[(forge_idx - 1) % len(self.forge_types)]
+
 
 def _repo_name(i: int) -> str:
     return f"repository_{i}"
@@ -64,8 +70,13 @@ def _avatar(host: str, owner: str) -> str:
     return f"https://{host}/avatars/{owner}.png"
 
 
-def _search_page_url(host: str, page: int, limit: int) -> str:
-    # REPO_SEARCH_PATH + page/limit query (forge/gitea/src/lib.rs:31,88-92)
+def _search_page_url(host: str, page: int, limit: int, ftype: str = "gitea") -> str:
+    # gitea: REPO_SEARCH_PATH + page/limit (forge/gitea/src/lib.rs:31,88-92);
+    # github/sourcehut follow their public API list endpoints
+    if ftype == "github":
+        return f"https://{host}/search/repositories?q=forge&page={page}&per_page={limit}"
+    if ftype == "sourcehut":
+        return f"https://{host}/api/repos?page={page}"
     return f"https://{host}/api/v1/repos/search?page={page}&limit={limit}"
 
 
@@ -74,8 +85,39 @@ def _topics_url(host: str, owner: str, name: str) -> str:
     return f"https://{host}/api/v1/repos/{owner}/{name}/topics"
 
 
-def _page_json(host: str, repos: list[tuple[str, str]]) -> str:
-    """Gitea SearchResults wire JSON for one page; repos = [(owner, name)]."""
+def _page_json(host: str, repos: list[tuple[str, str]], ftype: str = "gitea") -> str:
+    """Wire JSON for one search page; repos = [(owner, name)]."""
+    if ftype == "github":
+        items = [
+            {
+                "name": name,
+                "description": f"this repository is named {name}",
+                "homepage": "",
+                "html_url": f"https://{host}/{owner}/{name}",
+                "topics": ["testing"],
+                "owner": {
+                    "login": owner,
+                    "avatar_url": _avatar(host, owner),
+                    "html_url": f"https://{host}/{owner}",
+                },
+            }
+            for owner, name in repos
+        ]
+        return json.dumps(
+            {"total_count": len(items), "incomplete_results": False, "items": items},
+            sort_keys=True,
+        )
+    if ftype == "sourcehut":
+        results = [
+            {
+                "name": name,
+                "description": f"this repository is named {name}",
+                "visibility": "public",
+                "owner": {"canonical_name": f"~{owner}", "name": owner},
+            }
+            for owner, name in repos
+        ]
+        return json.dumps({"next": None, "results": results}, sort_keys=True)
     data = [
         {
             "name": name,
@@ -113,11 +155,12 @@ def make_corpus(spec: CorpusSpec) -> Corpus:
     for fi in range(1, spec.n_forges + 1):
         host = spec.host(fi)
         url = spec.forge_url(fi)
+        ftype = spec.forge_type(fi)
         forges.append(
             dict(
                 forge_id=fi,
                 hostname=url,
-                forge_type="gitea",
+                forge_type=ftype,
                 verified_on=spec.base_epoch + fi,
                 last_crawl_on=None,
                 imported=False,
@@ -147,11 +190,12 @@ def make_corpus(spec: CorpusSpec) -> Corpus:
                         hostname=url,
                         username=owner,
                         html_link=f"https://{host}/{owner}",
-                        profile_photo=_avatar(host, owner),
+                        profile_photo=None if ftype == "sourcehut" else _avatar(host, owner),
                         imported=False,
                     )
                 )
         for owner, name in repo_list:
+            owner_path = f"~{owner}" if ftype == "sourcehut" else owner
             g_repos.append(
                 dict(
                     hostname=url,
@@ -159,8 +203,8 @@ def make_corpus(spec: CorpusSpec) -> Corpus:
                     name=name,
                     description=f"this repository is named {name}",
                     website=None,
-                    html_url=f"https://{host}/{owner}/{name}",
-                    tags=["testing"],
+                    html_url=f"https://{host}/{owner_path}/{name}",
+                    tags=None if ftype == "sourcehut" else ["testing"],
                     imported=False,
                 )
             )
@@ -168,9 +212,14 @@ def make_corpus(spec: CorpusSpec) -> Corpus:
         n_pages = (n + spec.page_size - 1) // spec.page_size
         for page in range(1, n_pages + 2):  # +1 empty sentinel page
             page_repos = repo_list[(page - 1) * spec.page_size : page * spec.page_size]
-            doc_id = _search_page_url(host, page, spec.page_size)
+            doc_id = _search_page_url(host, page, spec.page_size, ftype)
             spans = [
-                dict(kind="api_json", text=_page_json(host, page_repos), media_ref=None, offset=0)
+                dict(
+                    kind="api_json",
+                    text=_page_json(host, page_repos, ftype),
+                    media_ref=None,
+                    offset=0,
+                )
             ]
             off = 1
             for owner, name in page_repos:
@@ -186,6 +235,8 @@ def make_corpus(spec: CorpusSpec) -> Corpus:
                 dict(hostname=host, page=page, idx_in_page=0, doc_id=doc_id, seq=seq)
             )
             seq += 1
+            if ftype != "gitea":
+                continue  # topics second-fetch is gitea-specific (S4)
             # topics docs, visited in in-page order right after the page fetch
             for idx, (owner, name) in enumerate(page_repos, start=1):
                 t_doc = _topics_url(host, owner, name)

@@ -216,15 +216,36 @@ class CrawlEngine:
 
     def _run_batch(self, batch_id: int, active: DataFrame, docs: DataFrame) -> None:
         s = self.s
-        # 1. page-fetch URLs for each active host (JVM-side string build)
+        # 1. page-fetch URLs for each active host (JVM-side string build),
+        # templated per forge type (N1 dispatch starts at URL construction)
+        page_url = (
+            F.when(
+                F.col("forge_type") == "github",
+                F.concat(
+                    F.lit("https://"), F.col("hostname"),
+                    F.lit("/search/repositories?q=forge&page="), F.col("next_page"),
+                    F.lit(f"&per_page={s.items_per_api_call}"),
+                ),
+            )
+            .when(
+                F.col("forge_type") == "sourcehut",
+                F.concat(
+                    F.lit("https://"), F.col("hostname"),
+                    F.lit("/api/repos?page="), F.col("next_page"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://"), F.col("hostname"),
+                    F.lit(f"{normalize.SEARCH_PATH}?page="), F.col("next_page"),
+                    F.lit(f"&limit={s.items_per_api_call}"),
+                )
+            )
+        )
         pages = active.select(
-            "forge_id", "hostname", "forge_url", "next_page", "effective_rate_ms",
-            "host_bucket",
-            F.concat(
-                F.lit("https://"), F.col("hostname"),
-                F.lit(f"{normalize.SEARCH_PATH}?page="), F.col("next_page"),
-                F.lit(f"&limit={s.items_per_api_call}"),
-            ).alias("doc_id"),
+            "forge_id", "hostname", "forge_url", "forge_type", "next_page",
+            "effective_rate_ms", "host_bucket",
+            page_url.alias("doc_id"),
         )
 
         # 2. fetch = co-partitioned join against documents (left: missing page
@@ -237,20 +258,23 @@ class CrawlEngine:
             "left",
         ).drop("hb_doc")
 
-        parsed = normalize.parse_gitea_search_pages(
+        parsed = normalize.parse_search_pages_typed(
             fetched_pages.filter(F.col("spans").isNotNull()).select(
-                "doc_id", "hostname", "spans"
+                "doc_id", "hostname", "spans", "forge_type"
             )
         )
         # re-attach frontier metadata
         meta = pages.select(
-            "doc_id", "forge_id", "forge_url", "effective_rate_ms", "host_bucket"
+            "doc_id", "forge_id", "forge_url", "forge_type", "effective_rate_ms",
+            "host_bucket",
         )
         repo_rows = parsed.join(meta, "doc_id")
 
         # 3. politeness: fetch list = page fetch (idx 0) + one topics call per
-        # repo in page order (P1: ≥rate between calls within a host)
-        topic_fetches = repo_rows.select(
+        # repo in page order (P1: ≥rate between calls within a host). Only
+        # gitea needs the second topics fetch; github ships topics inline and
+        # sourcehut has none (S4 is forge-type-specific).
+        topic_fetches = repo_rows.filter(F.col("forge_type") == "gitea").select(
             "hostname", "forge_id", "page", "idx_in_page", "effective_rate_ms",
             "host_bucket",
             F.concat(

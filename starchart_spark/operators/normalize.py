@@ -27,6 +27,18 @@ from starchart_spark import tables
 
 SEARCH_PATH = "/api/v1/repos/search"  # forge/gitea/src/lib.rs:31
 
+# per-forge-type search-page URL templates (the work-list shape of S3); the
+# reference only implements Gitea — GitHub/Sourcehut shapes follow the
+# public APIs of those forges, slotted behind the same dispatch (N1)
+SEARCH_TEMPLATES = {
+    "gitea": "/api/v1/repos/search?page={page}&limit={limit}",
+    "github": "/search/repositories?q=forge&page={page}&per_page={limit}",
+    "sourcehut": "/api/repos?page={page}",
+}
+
+# forge types whose wire pages already embed topics (no second fetch)
+INLINE_TOPIC_TYPES = {"github"}
+
 
 def first_text_span(df: DataFrame, out_col: str = "wire_json") -> DataFrame:
     """Extract the first api_json span's text, in offset order."""
@@ -70,7 +82,84 @@ def parse_gitea_search_pages(search_docs: DataFrame) -> DataFrame:
         F.col("repo.html_url").alias("html_url"),
         F.col("repo.owner.username").alias("owner_username"),
         F.col("repo.owner.avatar_url").alias("owner_avatar_url"),
+        # gitea topics come from a second fetch (S4), never inline
+        F.lit(None).cast("array<string>").alias("tags_inline"),
     )
+
+
+def parse_github_search_pages(search_docs: DataFrame) -> DataFrame:
+    """GitHub search-page documents → unified repo rows. Topics arrive inline
+    (``tags_inline``), so no per-repo second fetch exists for this type."""
+    df = first_text_span(search_docs)
+    df = df.withColumn("parsed", F.from_json("wire_json", tables.GITHUB_SEARCH_RESULTS))
+    df = df.withColumn("page", F.regexp_extract("doc_id", r"[?&]page=(\d+)", 1).cast("int"))
+    df = df.select(
+        "doc_id", "hostname", "page", F.posexplode("parsed.items").alias("pos", "repo")
+    )
+    return df.select(
+        "doc_id",
+        "hostname",
+        "page",
+        (F.col("pos") + 1).alias("idx_in_page"),
+        F.col("repo.name").alias("name"),
+        F.col("repo.description").alias("description"),
+        F.col("repo.homepage").alias("website"),
+        F.col("repo.html_url").alias("html_url"),
+        F.col("repo.owner.login").alias("owner_username"),
+        F.col("repo.owner.avatar_url").alias("owner_avatar_url"),
+        F.array_distinct("repo.topics").alias("tags_inline"),
+    )
+
+
+def parse_sourcehut_search_pages(search_docs: DataFrame) -> DataFrame:
+    """Sourcehut list documents → unified repo rows. No avatars or topics in
+    the wire shape; html_url derived from the canonical name."""
+    df = first_text_span(search_docs)
+    df = df.withColumn("parsed", F.from_json("wire_json", tables.SOURCEHUT_RESULTS))
+    df = df.withColumn("page", F.regexp_extract("doc_id", r"[?&]page=(\d+)", 1).cast("int"))
+    df = df.select(
+        "doc_id", "hostname", "page", F.posexplode("parsed.results").alias("pos", "repo")
+    )
+    return df.select(
+        "doc_id",
+        "hostname",
+        "page",
+        (F.col("pos") + 1).alias("idx_in_page"),
+        F.col("repo.name").alias("name"),
+        F.col("repo.description").alias("description"),
+        F.lit(None).cast("string").alias("website"),
+        F.concat(
+            F.lit("https://"), F.col("hostname"), F.lit("/"),
+            F.col("repo.owner.canonical_name"), F.lit("/"), F.col("repo.name"),
+        ).alias("html_url"),
+        F.regexp_replace(F.col("repo.owner.canonical_name"), r"^~", "").alias(
+            "owner_username"
+        ),
+        F.lit(None).cast("string").alias("owner_avatar_url"),
+        F.lit(None).cast("array<string>").alias("tags_inline"),
+    )
+
+
+PAGE_PARSERS = {
+    "gitea": parse_gitea_search_pages,
+    "github": parse_github_search_pages,
+    "sourcehut": parse_sourcehut_search_pages,
+}
+
+
+def parse_search_pages_typed(search_docs: DataFrame) -> DataFrame:
+    """N1 dispatch over the forge_type column: per-type from_json parsers
+    unioned into one unified repo-row frame. Types with no rows prune to
+    empty scans; unknown types yield nothing (callers may report them)."""
+    parts = []
+    for ftype, parser in PAGE_PARSERS.items():
+        parts.append(
+            parser(search_docs.filter(F.col("forge_type") == ftype).drop("forge_type"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def parse_gitea_topics_pages(topics_docs: DataFrame) -> DataFrame:
@@ -114,9 +203,15 @@ def normalize_repositories(
     repo_rows: DataFrame, topics: DataFrame, forge_url_col: str = "forge_url"
 ) -> DataFrame:
     """N3 + J4: attach tags with one grouped join (replaces the reference's
-    per-repo N+1 topics lookup, db/db-sqlx-sqlite/src/lib.rs:774-795)."""
+    per-repo N+1 topics lookup, db/db-sqlx-sqlite/src/lib.rs:774-795).
+    Forge types with inline topics (github) fall back to ``tags_inline``."""
     joined = repo_rows.join(
         topics, on=["hostname", "owner_username", "name"], how="left"
+    )
+    inline = (
+        F.col("tags_inline")
+        if "tags_inline" in repo_rows.columns
+        else F.lit(None).cast("array<string>")
     )
     return joined.select(
         F.col(forge_url_col).alias("hostname"),
@@ -125,7 +220,7 @@ def normalize_repositories(
         F.col("description"),
         empty_is_none(F.col("website")).alias("website"),
         "html_url",
-        "tags",
+        F.coalesce(F.col("tags"), inline).alias("tags"),
         F.lit(False).alias("imported"),
         "page",
         "idx_in_page",

@@ -39,6 +39,14 @@ def get_spark(
             os.environ.get("STARCHART_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    # local-mode shuffles hit spark.local.dir hard; tmpfs (RAM-backed) is the
+    # sandbox equivalent of the NVMe-local shuffle dirs a real cluster uses
+    local_dir = os.environ.get("STARCHART_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -59,6 +67,8 @@ def get_spark(
         # parallelism (32 tasks × shuffle/persist buffers starve an 8g heap)
         .config("spark.driver.memory", os.environ.get("STARCHART_DRIVER_MEM", "32g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

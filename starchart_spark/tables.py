@@ -191,3 +191,59 @@ GITEA_SEARCH_RESULTS = T.StructType(
 GITEA_TOPICS = T.StructType(
     [T.StructField("topics", T.ArrayType(T.StringType()), False)]
 )
+
+# GitHub repository-search wire shape (public REST API GET /search/repositories:
+# {total_count, incomplete_results, items:[{name, description, homepage,
+# html_url, topics, owner:{login, avatar_url, html_url}}]}) — subset we consume
+GITHUB_OWNER = T.StructType(
+    [
+        T.StructField("login", T.StringType(), False),
+        T.StructField("avatar_url", T.StringType(), True),
+        T.StructField("html_url", T.StringType(), True),
+    ]
+)
+
+GITHUB_REPO = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("homepage", T.StringType(), True),
+        T.StructField("html_url", T.StringType(), False),
+        T.StructField("topics", T.ArrayType(T.StringType()), True),
+        T.StructField("owner", GITHUB_OWNER, False),
+    ]
+)
+
+GITHUB_SEARCH_RESULTS = T.StructType(
+    [
+        T.StructField("total_count", T.LongType(), True),
+        T.StructField("incomplete_results", T.BooleanType(), True),
+        T.StructField("items", T.ArrayType(GITHUB_REPO), False),
+    ]
+)
+
+# Sourcehut (sr.ht) legacy REST list shape (GET /api/repos:
+# {next, results:[{name, description, visibility, owner:{canonical_name,
+# name}}]}) — html_url derived as https://{host}/{canonical_name}/{name}
+SOURCEHUT_OWNER = T.StructType(
+    [
+        T.StructField("canonical_name", T.StringType(), False),  # "~user"
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+SOURCEHUT_REPO = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("visibility", T.StringType(), True),
+        T.StructField("owner", SOURCEHUT_OWNER, False),
+    ]
+)
+
+SOURCEHUT_RESULTS = T.StructType(
+    [
+        T.StructField("next", T.StringType(), True),
+        T.StructField("results", T.ArrayType(SOURCEHUT_REPO), False),
+    ]
+)
