@@ -128,19 +128,13 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     filters = bloom_mod.build(seen).persist()
     filters.count()
     stages["bloom_build"] = round(time.time() - t0, 3)
-    # stage 2: canonicalize → hash, persisted NARROW before the probe.
-    # Chaining two Python UDF stages (canonicalize → probe) in one task
-    # pipeline anti-scales badly (two interleaved Python exchanges per task);
-    # a 120 MB narrow cache between them keeps each Python stage standalone.
+    # stage 2: canonicalize → hash → bloom probe in ONE pass. The dim-join
+    # canonicalizer leaves the probe as the only per-row Python stage, so no
+    # UDF chaining remains and no intermediate cache is needed.
     t1 = time.time()
-    keyed = _keyed(frontier).persist()
-    keyed.count()
-    stages["canonicalize_hash"] = round(time.time() - t1, 3)
-    t1b = time.time()
-    probed = bloom_mod.probe(spark, keyed, filters).persist()
+    probed = bloom_mod.probe(spark, _keyed(frontier), filters).persist()
     probed.count()
-    keyed.unpersist()
-    stages["bloom_probe"] = round(time.time() - t1b, 3)
+    stages["canonicalize_hash_probe"] = round(time.time() - t1, 3)
     # stage 3: confirm anti-join + in-frontier keep-first (hash agg, map-side
     # combine) + skew-proof per-host politeness ranking + counters
     t2 = time.time()
@@ -153,7 +147,7 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     uniq = dedup.seen_filter(uniq0, seen, ["key_hash"], "maybe_seen").select(
         "id", "hostname", "key_hash"
     ).persist()
-    uniq.count()  # materialize BEFORE the multi-action fan-out below — a lazy
+    uniq_total = uniq.count()  # materialize BEFORE the fan-out below — a lazy
     # cache is recomputed when the first actions race over it
     # budget-bounded scheduling: a host may fetch budget/rate slots per
     # batch. Hosts under budget schedule everything (no ranking needed);
@@ -164,7 +158,6 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     k_slots = budget_ms // rate_ms
     host_counts = uniq.groupBy("hostname").agg(F.count(F.lit(1)).alias("__n"))
     hot_hosts = host_counts.filter(F.col("__n") > k_slots).select("hostname")
-    cold_n = uniq.join(F.broadcast(hot_hosts), "hostname", "left_anti").count()
     hot = uniq.join(F.broadcast(hot_hosts), "hostname", "left_semi")
     ranked = skew.ranked_by_host(hot, "hostname", "id")
     row = ranked.agg(
@@ -175,7 +168,7 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     elapsed = time.time() - t0
 
     n_deferred = int(row["deferred"] or 0)
-    n_scheduled = cold_n + int(row["n"]) - n_deferred
+    n_scheduled = uniq_total - n_deferred  # cold hosts schedule wholly
     seen.unpersist()
     filters.unpersist()
     probed.unpersist()

@@ -26,7 +26,8 @@ def run(cores: int, n_urls: int) -> float:
 def main() -> None:
     n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    lo, hi = 8, 32
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     lo_runs, hi_runs = [], []
     for i in range(reps):
         print(f"rep {i + 1}/{reps}", file=sys.stderr)
@@ -36,13 +37,13 @@ def main() -> None:
     t_hi = statistics.median(hi_runs)
     eff = (t_hi / t_lo) / (hi / lo)
     out = {
-        "metric": "frontier throughput scaling efficiency (N=8 vs 4N=32 cores)",
+        "metric": f"frontier throughput scaling efficiency (N={lo} vs {hi} cores)",
         "n_urls": n_urls,
         "reps": reps,
-        "urls_per_sec@8": lo_runs,
-        "urls_per_sec@32": hi_runs,
-        "median@8": t_lo,
-        "median@32": t_hi,
+        f"urls_per_sec@{lo}": lo_runs,
+        f"urls_per_sec@{hi}": hi_runs,
+        f"median@{lo}": t_lo,
+        f"median@{hi}": t_hi,
         "efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
