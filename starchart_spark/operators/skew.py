@@ -112,7 +112,16 @@ def ranked_by_host(
     offsets = [
         (h, pid, off) for h, (_, pids) in by_host.items() for pid, off in pids.items()
     ]
-    off_df = spark.createDataFrame(offsets, [host_col, "__pid", "__off"])
+    from pyspark.sql import types as T
+
+    off_schema = T.StructType(
+        [
+            T.StructField(host_col, df.schema[host_col].dataType, False),
+            T.StructField("__pid", T.IntegerType(), False),
+            T.StructField("__off", T.LongType(), False),
+        ]
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)  # explicit: may be empty
     w = Window.partitionBy("__pid", host_col).orderBy(F.col(order_col).asc())
     out = (
         ranged.withColumn("__local", F.row_number().over(w))

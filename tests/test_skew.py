@@ -69,3 +69,10 @@ def test_keep_first_agg_equals_window(spark):
     )
     b = sorted(tuple(r) for r in dedup.keep_first(df, ["key"], ["ord"]).collect())
     assert a == b
+
+
+def test_ranked_by_host_empty_input(spark):
+    df = spark.createDataFrame([], "hostname string, k long")
+    out = skew.ranked_by_host(df, "hostname", "k", num_partitions=4)
+    assert out.count() == 0
+    assert "host_rank" in out.columns
