@@ -47,12 +47,13 @@ def keep_first(
 def keep_first_agg(
     df: DataFrame, key_cols: Sequence[str], order_col: str
 ) -> DataFrame:
-    """Keep-first as a hash aggregation: ``min_by(struct(*), order)`` per key.
+    """Keep-first as an aggregation: ``min_by(struct(*), order)`` per key.
 
-    Same result as ``keep_first`` for a single total-order column, but runs
-    as partial-aggregating hash agg (map-side combine) instead of a full
-    sort-window — the right physical shape when duplicates are common and
-    rows are narrow (e.g. frontier keys). Column order is preserved.
+    Same result as ``keep_first`` for a single total-order column, but with
+    map-side partial aggregation (``partial_min_by`` before the exchange) —
+    duplicates collapse before they shuffle, unlike the window variant which
+    moves every row. The right shape when duplicates are common and rows are
+    narrow (e.g. frontier keys). Column order is preserved.
     """
     cols = df.columns
     picked = df.groupBy(*key_cols).agg(

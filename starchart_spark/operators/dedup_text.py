@@ -198,8 +198,15 @@ def minhash_lsh_pairs(
         .select(F.col(f"x.{id_col}").alias("a_id"), F.col(f"y.{id_col}").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    # exact verify on the candidate set only
-    sh = shingles(df, id_col, text_col, n)
+    # exact verify on the candidate set only: shingle only docs that appear
+    # in some candidate pair (semi-join pushes the filter into the scan)
+    cands = cands.persist()
+    cand_ids = (
+        cands.select(F.col("a_id").alias(id_col))
+        .union(cands.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle")
