@@ -22,14 +22,15 @@ pairs (same probe-then-confirm contract as the bloom seen-filter).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 SHINGLE_N = 3
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: with a,b < p and x < p, a*x + b < 2^62 stays exact
+# in JVM signed-64 arithmetic — so the universal hashes run as plain column
+# expressions (whole-stage codegen), never in Python.
+_P31 = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -105,8 +106,8 @@ def ngram_jaccard_pairs(
 
 def _minhash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, _P31, size=k, dtype=np.int64)
+    b = rng.integers(0, _P31, size=k, dtype=np.int64)
     return a, b
 
 
@@ -119,37 +120,31 @@ def minhash_signatures(
     n: int = SHINGLE_N,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, sig array<long>[k]) MinHash signatures.
+    """(id, sig array<long>[k]) MinHash signatures — entirely JVM-side.
 
-    Shingle→xxhash64 stays JVM-side; the k-fold min over universal hashes
-    h_i(x) = (a_i·x + b_i) mod (2^61-1) runs vectorized in numpy via
-    applyInPandas per id — an O(#shingles · k) matrix op per doc batch.
+    One hash-aggregate: ``groupBy(id).agg(min(h_0), …, min(h_{k-1}))`` over
+    ``h_i(x) = (a_i·x + b_i) mod (2^31-1)`` with ``x = xxhash64(shingle) mod
+    (2^31-1)``. Partial (map-side) aggregation collapses each doc's shingles
+    before the exchange, so the shuffle carries k longs per doc — never the
+    shingle set — and no Python worker runs at all (the previous
+    ``applyInPandas`` formulation was the package's slowest stage at 100 TB
+    shapes; this is the round-2 replacement, same verified-exact contract).
     """
     a, b = _minhash_params(k, seed)
-    bc = spark.sparkContext.broadcast((a, b))
-    sh = shingles(df, id_col, text_col, n).withColumn(
-        "sh_hash", F.xxhash64("shingle")
+    sh = shingles(df, id_col, text_col, n).select(
+        F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(_P31)).alias("__x")
     )
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, df.schema[id_col].dataType, False),
-            T.StructField("sig", T.ArrayType(T.LongType()), False),
-        ]
+    aggs = [
+        F.min((F.lit(int(a[i])) * F.col("__x") + F.lit(int(b[i]))) % F.lit(_P31)).alias(
+            f"__h{i}"
+        )
+        for i in range(k)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), F.array(*[f"__h{i}" for i in range(k)]).alias("sig"))
     )
-
-    def _sig(pdf: pd.DataFrame) -> pd.DataFrame:
-        av, bv = bc.value
-        kk = len(av)
-        ids, sigs = [], []
-        for doc, grp in pdf.groupby(id_col, sort=False):
-            x = grp["sh_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-            # (n_shingles, k) universal hashes, min over shingles
-            hx = (x[:, None] * av[None, :] + bv[None, :]) % np.uint64(_MERSENNE)
-            ids.append(doc)
-            sigs.append(hx.min(axis=0).astype(np.int64))
-        return pd.DataFrame({id_col: ids, "sig": [list(s) for s in sigs]})
-
-    return sh.groupBy(id_col).applyInPandas(_sig, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -234,36 +229,32 @@ def simhash64(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """64-bit SimHash over token xxhash64s: (id, simhash long)."""
+    """64-bit SimHash over token xxhash64s: (id, simhash long) — JVM-side.
+
+    Per doc the sketch needs, for each bit j, the sign of ``Σ_tokens
+    (2·bit_j - 1) = 2·Σ bit_j - n_tokens`` — so it is one hash-aggregate of
+    64 conditional bit-count sums plus a count, then a 64-term constant-fold
+    to reassemble the long (bit 63 contributes the two's-complement weight
+    -2^63). Map-side partial aggregation, zero Python workers (round-2
+    replacement of the per-doc ``applyInPandas`` formulation).
+    """
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("th", F.xxhash64("tok"))
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, df.schema[id_col].dataType, False),
-            T.StructField("simhash", T.LongType(), False),
-        ]
-    )
-
-    def _sim(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, hs = [], []
-        for doc, grp in pdf.groupby(id_col, sort=False):
-            h = grp["th"].to_numpy(dtype=np.int64).view(np.uint64)
-            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            sh = int(
-                ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-                    dtype=np.uint64
-                )
-            )
-            if sh >= 1 << 63:  # two's-complement into LongType
-                sh -= 1 << 64
-            ids.append(doc)
-            hs.append(sh)
-        return pd.DataFrame({id_col: ids, "simhash": hs})
-
-    return tok.groupBy(id_col).applyInPandas(_sim, out_schema)
+    aggs = [
+        F.sum(F.shiftrightunsigned(F.col("th"), j).bitwiseAND(F.lit(1))).alias(f"__s{j}")
+        for j in range(64)
+    ] + [F.count(F.lit(1)).alias("__n")]
+    agg = tok.groupBy(id_col).agg(*aggs)
+    weights = [-(1 << 63) if j == 63 else (1 << j) for j in range(64)]
+    sim = None
+    for j in range(64):
+        term = F.when(
+            (F.lit(2) * F.col(f"__s{j}")) > F.col("__n"), F.lit(weights[j]).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_dupes(
