@@ -184,17 +184,29 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_urls = int(os.environ.get("STARCHART_BENCH_URLS", "2000000"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-
+def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dict:
+    extra = {}
+    if local_dir:
+        os.environ["STARCHART_LOCAL_DIR"] = local_dir
     spark = get_spark(
         app_name="starchart-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 16),
+        extra_conf=extra,
     )
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # codegen warmup at the tiniest SF: a long-lived cluster compiles each
+    # query's generated code once and amortizes it over the whole run; the
+    # per-query numbers below measure steady-state execution, not Janino
+    for name in HEADLINE_QUERIES:
+        fn, _ = QUERIES[name]
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run below surfaces errors
 
     per_query: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
@@ -216,6 +228,28 @@ def main() -> None:
         "frontier": stats,
         "cpus": cpus,
     }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_urls = int(os.environ.get("STARCHART_BENCH_URLS", "2000000"))
+    try:
+        out = _run_once(sf_dir, cpus, n_urls, local_dir=None)
+    except Exception as e:  # worker crash / memory pressure: one clean retry
+        print(f"bench attempt 1 failed ({type(e).__name__}); retrying with "
+              f"/tmp shuffle dir and half parallelism", file=sys.stderr)
+        try:
+            SparkSession = __import__("pyspark.sql", fromlist=["SparkSession"]).SparkSession
+            active = SparkSession.getActiveSession()
+            if active is not None:
+                active.stop()
+        except Exception:
+            pass
+        out = _run_once(sf_dir, max(cpus // 2, 8), n_urls, local_dir="/tmp/spark-local")
+        out["retried"] = True
     print(json.dumps(out))
 
 

@@ -13,15 +13,23 @@ order the engine reports (``crawl_order``) is the pure-function sort
 Batch dataflow (SURVEY.md §3.1):
 
     active_state ⋉ consent [P4/P5, broadcast]
-      → page-URL construction (JVM concat)
-      → politeness slot assignment per host [P1/P2] → defer over-budget pages
+      → page-URL construction (JVM concat) + pending carried fetches
+      → politeness slot assignment per host [P1/P2] → over-budget fetches
+        deferred to the pending table (a page merges only when ALL its
+        fetches have run — no tag loss, and idx-0 always schedules so any
+        budget > 0 makes progress)
       → "fetch" = co-partitioned join against the documents table [S3]
       → from_json parse + normalize [N1-N3] ; topics join [S4/J4]
       → keep-first user dedup in crawl order [D5] ; array_distinct tags [D6]
-      → bloom-prefiltered anti-join vs url_seen [D1-D4]
+      → bloom-prefiltered anti-join vs url_seen [D1-D4] (filters persisted
+        per bucket and updated incrementally — O(new keys)/batch)
       → MERGE (insert-if-absent) into users / repositories / forges [S5-S7]
       → url_seen append ; visit-log append ; lineage counters append [A3]
-      → state snapshot commit (the checkpoint; resume = reopen tables)
+      → pending overwrite ; state snapshot commit (the checkpoint)
+
+TTL re-crawl (P3): hosts stamp ``last_crawl_on`` from the injected batch
+clock when they drain; ``reactivate_due(now_s)`` re-enters them at page 1
+once ``now - last_crawl_on >= ttl`` (src/spider.rs:192-202).
 
 Scale: every table is keyed/bucketed by host_bucket = bucket(B, hostname);
 the fetch join and the seen anti-join are co-partitioned on it. Mega-host
@@ -56,6 +64,10 @@ STATE = T.StructType(
         T.StructField("active", T.BooleanType(), False),
         T.StructField("effective_rate_ms", T.LongType(), False),
         T.StructField("host_bucket", T.IntegerType(), False),
+        # epoch seconds of the host's last completed crawl cycle (P3); set
+        # from injected batch time when a host drains, read by
+        # ``reactivate_due`` — never from wall clock (replay determinism)
+        T.StructField("last_crawl_on", T.LongType(), True),
     ]
 )
 
@@ -70,6 +82,22 @@ VISIT_LOG = T.StructType(
     ]
 )
 
+# fetches deferred by the politeness budget, carried to the next batch so a
+# partially-fetched page eventually completes (no tag loss, no livelock):
+# idx 0 (the page fetch itself) always schedules at slot 0, so pending rows
+# are topic fetches only
+PENDING = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("forge_id", T.LongType(), False),
+        T.StructField("page", T.IntegerType(), False),
+        T.StructField("idx_in_page", T.IntegerType(), False),
+        T.StructField("effective_rate_ms", T.LongType(), False),
+        T.StructField("host_bucket", T.IntegerType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+    ]
+)
+
 
 @dataclass
 class CrawlSettings:
@@ -78,8 +106,12 @@ class CrawlSettings:
     budget_ms: int | None = None  # politeness budget per host per batch
     host_buckets: int = 32
     use_bloom: bool = True
+    # below this many seen keys the exact anti-join alone is cheaper than a
+    # probe pass — the bloom layer only engages past the threshold
+    bloom_min_keys: int = 0
     max_batches: int = 10_000
     snapshot_keep: int = 50
+    ttl_s: int = 432_000  # crawler.ttl — re-crawl cycle (config/default.toml:35)
 
 
 class CrawlEngine:
@@ -87,6 +119,7 @@ class CrawlEngine:
         self.spark = spark
         self.warehouse = warehouse
         self.s = settings or CrawlSettings()
+        self._batch_time_s: int | None = None  # injected logical clock (N8)
         os.makedirs(warehouse, exist_ok=True)
         t = lambda name, schema, keys: SnapshotTable(  # noqa: E731
             os.path.join(warehouse, name), schema, keys
@@ -102,6 +135,10 @@ class CrawlEngine:
         self.lineage = t("lineage", tables.LINEAGE, [])
         self.visit_log = t("visit_log", VISIT_LOG, [])
         self.state = t("state", STATE, ["hostname"])
+        self.pending = t("pending", PENDING, [])
+        # persisted per-bucket bloom filters, maintained incrementally
+        # (O(new keys) per batch — never rebuilt from the full seen set)
+        self.bloom_state = t("bloom_state", bloom_mod.FILTER_SCHEMA, ["host_bucket"])
 
     # -- helpers ---------------------------------------------------------------
 
@@ -155,6 +192,7 @@ class CrawlEngine:
             F.lit(True).alias("active"),
             "effective_rate_ms",
             self._bucket("hostname").alias("host_bucket"),
+            F.lit(None).cast("long").alias("last_crawl_on"),
         )
         self.state.overwrite(state, {"batch_id": 0})
 
@@ -178,7 +216,63 @@ class CrawlEngine:
         row = df.agg(F.max("batch_id").alias("m")).collect()[0]
         return int(row["m"]) if row["m"] is not None else 0
 
-    def run(self, documents: DataFrame, max_batches: int | None = None) -> dict:
+    # -- bloom filter lifecycle ----------------------------------------------
+
+    def _ensure_bloom(self, last_batch_id: int) -> None:
+        """Resume guard: if the persisted filter table is missing or lags the
+        last committed batch (kill between url_seen merge and filter
+        persist), rebuild it from the seen set — the only full rebuild the
+        engine ever does; steady state is incremental ``bloom.update``."""
+        if not self.s.use_bloom:
+            return
+        snap = self.bloom_state.current_snapshot()
+        if snap is not None and snap.summary.get("batch_id") == last_batch_id:
+            return
+        filters = bloom_mod.build(self.url_seen.read(self.spark))
+        self.bloom_state.overwrite(filters, {"batch_id": last_batch_id})
+
+    def _load_bloom(self) -> DataFrame | None:
+        """Current filter table, or None when bloom is off / below the
+        engage threshold (tiny seen sets anti-join cheaper than they probe)."""
+        if not self.s.use_bloom:
+            return None
+        filters = self.bloom_state.read(self.spark)
+        if self.s.bloom_min_keys > 0:
+            total = filters.agg(F.sum("n_keys").alias("n")).collect()[0]["n"]
+            if int(total or 0) < self.s.bloom_min_keys:
+                return None
+        return filters
+
+    def _advance_bloom(self, batch_id: int, new_keys: DataFrame) -> None:
+        """Incremental maintenance: OR only this batch's committed keys into
+        their buckets (O(new keys)); rebuild just the overfull buckets."""
+        if not self.s.use_bloom:
+            return
+        filters = bloom_mod.update(
+            self.bloom_state.read(self.spark),
+            new_keys.select("host_bucket", "key_hash"),
+        )
+        self.bloom_state.overwrite(filters, {"batch_id": batch_id})
+        over = [
+            int(r["host_bucket"])
+            for r in bloom_mod.overfull(self.bloom_state.read(self.spark)).collect()
+        ]
+        if over:
+            cur = self.bloom_state.read(self.spark)
+            rebuilt = bloom_mod.build(
+                self.url_seen.read(self.spark).filter(F.col("host_bucket").isin(over))
+            )
+            self.bloom_state.overwrite(
+                cur.filter(~F.col("host_bucket").isin(over)).unionByName(rebuilt),
+                {"batch_id": batch_id, "rebuilt_buckets": len(over)},
+            )
+
+    def run(
+        self,
+        documents: DataFrame,
+        max_batches: int | None = None,
+        batch_time_s: int | None = None,
+    ) -> dict:
         """Run micro-batches until the frontier drains (or max_batches).
 
         Idempotent and resumable: state/url_seen/entity tables are reopened
@@ -188,10 +282,17 @@ class CrawlEngine:
         the batch; uncommitted partial merges are absorbed by merge-insert
         idempotency, same observable end state as the reference's re-crawl,
         SURVEY.md P8).
+
+        ``batch_time_s`` is the injected logical clock (N8 determinism —
+        never wall time): hosts that drain during this run get
+        ``last_crawl_on = batch_time_s``, which ``reactivate_due`` later
+        compares against ttl (P3, src/spider.rs:192-202).
         """
+        self._batch_time_s = batch_time_s
         docs = documents.withColumn("host_bucket", self._bucket("hostname"))
         docs = docs.repartition(self.s.host_buckets, "host_bucket").persist()
         batch_id = self._last_batch_id()
+        self._ensure_bloom(batch_id)
         batches = 0
         limit = max_batches if max_batches is not None else self.s.max_batches
 
@@ -206,16 +307,66 @@ class CrawlEngine:
             self._run_batch(batch_id, active, docs)
             active.unpersist()
 
+        if batch_time_s is not None:
+            self._sync_forge_last_crawl()
         docs.unpersist()
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
-                    self.lineage, self.visit_log, self.state):
+                    self.lineage, self.visit_log, self.state, self.pending,
+                    self.bloom_state):
             tbl.expire_snapshots(self.s.snapshot_keep)
         return {"batches": batches, "last_batch_id": batch_id}
+
+    def _sync_forge_last_crawl(self) -> None:
+        """Mirror state.last_crawl_on into the forges table (the reference's
+        ``last_crawl_on`` column, db/db-core/src/lib.rs:156-157)."""
+        st = self.state.read(self.spark).filter(F.col("last_crawl_on").isNotNull())
+        updates = (
+            self.forges.read(self.spark)
+            .drop("last_crawl_on")
+            .join(
+                st.select(
+                    F.col("forge_url").alias("hostname"), "last_crawl_on"
+                ),
+                "hostname",
+            )
+        )
+        self.forges.merge_update(self.spark, updates)
+
+    def reactivate_due(self, now_s: int) -> int:
+        """P3 crawl-cycle TTL: drained hosts whose last crawl is at least
+        ``ttl_s`` old re-enter the frontier at page 1 (the reference sleeps
+        ttl then restarts its page counter, src/spider.rs:192-202 +
+        config/default.toml:35). Returns the number of reactivated hosts."""
+        st = self.state.read(self.spark)
+        due = (
+            (~F.col("active"))
+            & F.col("last_crawl_on").isNotNull()
+            & (F.lit(now_s) - F.col("last_crawl_on") >= F.lit(self.s.ttl_s))
+        )
+        n_due = st.filter(due).count()
+        if n_due == 0:
+            return 0
+        self.state.overwrite(
+            st.select(
+                "forge_id", "hostname", "forge_url", "forge_type",
+                F.when(due, F.lit(1)).otherwise(F.col("next_page")).alias("next_page"),
+                F.when(due, F.lit(True)).otherwise(F.col("active")).alias("active"),
+                "effective_rate_ms", "host_bucket", "last_crawl_on",
+            ),
+            {"op": "reactivate", "now_s": now_s, "n": n_due},
+        )
+        return n_due
 
     # -- one micro-batch -----------------------------------------------------------
 
     def _run_batch(self, batch_id: int, active: DataFrame, docs: DataFrame) -> None:
         s = self.s
+        # 0. fetches deferred by the politeness budget in earlier batches:
+        # hosts with pending rows resume their partially-fetched page instead
+        # of opening a new one (their next_page never advanced)
+        pending = self.pending.read(self.spark)
+        pending_hosts = pending.select("hostname").distinct()
+
         # 1. page-fetch URLs for each active host (JVM-side string build),
         # templated per forge type (N1 dispatch starts at URL construction)
         page_url = (
@@ -273,8 +424,9 @@ class CrawlEngine:
         # 3. politeness: fetch list = page fetch (idx 0) + one topics call per
         # repo in page order (P1: ≥rate between calls within a host). Only
         # gitea needs the second topics fetch; github ships topics inline and
-        # sourcehut has none (S4 is forge-type-specific).
-        topic_fetches = repo_rows.filter(F.col("forge_type") == "gitea").select(
+        # sourcehut has none (S4 is forge-type-specific). Hosts resuming a
+        # partially-fetched page contribute their carried-over rows instead.
+        all_topic_fetches = repo_rows.filter(F.col("forge_type") == "gitea").select(
             "hostname", "forge_id", "page", "idx_in_page", "effective_rate_ms",
             "host_bucket",
             F.concat(
@@ -282,30 +434,44 @@ class CrawlEngine:
                 F.col("owner_username"), F.lit("/"), F.col("name"), F.lit("/topics"),
             ).alias("doc_id"),
         )
-        page_fetches = fetched_pages.select(
+        page_fetches = fetched_pages.join(pending_hosts, "hostname", "left_anti").select(
             "hostname", "forge_id",
             F.col("next_page").alias("page"),
             F.lit(0).alias("idx_in_page"),
             "effective_rate_ms", "host_bucket", "doc_id",
         )
-        all_fetches = page_fetches.unionByName(topic_fetches)
+        all_fetches = (
+            page_fetches.unionByName(
+                all_topic_fetches.join(pending_hosts, "hostname", "left_anti")
+            )
+            .unionByName(pending.select(*[f.name for f in PENDING.fields])
+                         .select("hostname", "forge_id", "page", "idx_in_page",
+                                 "effective_rate_ms", "host_bucket", "doc_id"))
+        )
         slotted = politeness.assign_slots_token_bucket(
             all_fetches, order_cols=["page", "idx_in_page"]
         )
         scheduled, deferred = politeness.split_by_budget(slotted, s.budget_ms)
         scheduled = scheduled.persist()
         deferred = deferred.persist()
-        # deferral unit = whole page: a page whose own fetch (idx 0) deferred
-        # stays queued; hosts keep next_page unchanged
-        deferred_page_hosts = (
-            deferred.filter(F.col("idx_in_page") == 0).select("hostname").distinct()
-        )
+        # a page completes only when EVERY one of its fetches has been
+        # scheduled: ANY deferred fetch keeps the host on its current page
+        # and postpones the page's entity merge (the reference processes a
+        # page's CrawlResp only after all its topic calls finished,
+        # forge/gitea/src/lib.rs:74-172). idx 0 always schedules at slot 0,
+        # so the carried rows are topic fetches only and progress is
+        # guaranteed for any budget > 0.
+        deferred_hosts = deferred.select("hostname").distinct()
         sched_repo_rows = repo_rows.join(
-            deferred_page_hosts, "hostname", "left_anti"
+            deferred_hosts, "hostname", "left_anti"
         ).persist()
 
-        # 4. topics "fetch" + parse + J4 grouped join (no N+1)
-        topics_raw = scheduled.filter(F.col("idx_in_page") > 0).join(
+        # 4. topics "fetch" + parse + J4 grouped join (no N+1). For pages
+        # completing this batch the full topic list is re-derived and joined
+        # against docs — a pure function, regardless of which batch actually
+        # scheduled each topic fetch.
+        topic_docs = all_topic_fetches.join(deferred_hosts, "hostname", "left_anti")
+        topics_raw = topic_docs.join(
             docs.select("doc_id", "spans"), "doc_id", "left"
         )
         topics = normalize.parse_gitea_topics_pages(
@@ -322,10 +488,7 @@ class CrawlEngine:
         repo_cands = normalize.normalize_repositories(sched_repo_rows, topics)
 
         # 6. seen filter (bloom prefilter + exact anti-join) and MERGE sinks
-        bloom_filters = None
-        if s.use_bloom:
-            seen_now = self.url_seen.read(self.spark)
-            bloom_filters = bloom_mod.build(seen_now).persist()
+        bloom_filters = self._load_bloom()
 
         u_keyed = (
             user_first.withColumn("key_kind", F.lit("user"))
@@ -339,7 +502,7 @@ class CrawlEngine:
         )
         u_new = self._new_against_seen(u_keyed, bloom_filters)
         _, u_ins = self.users.merge_insert(self.spark, u_new, {"batch_id": batch_id})
-        self.url_seen.merge_insert(
+        _, u_seen_ins = self.url_seen.merge_insert(
             self.spark, self._seen_keys(u_ins, "user", F.col("username"), None),
             {"batch_id": batch_id},
         )
@@ -358,22 +521,28 @@ class CrawlEngine:
             ),
             {"batch_id": batch_id},
         )
-        self.url_seen.merge_insert(
+        _, r_seen_ins = self.url_seen.merge_insert(
             self.spark, self._seen_keys(r_ins, "repo", F.col("name"), F.col("owner")),
             {"batch_id": batch_id},
         )
-        if bloom_filters is not None:
-            bloom_filters.unpersist()
+        self._advance_bloom(
+            batch_id,
+            u_seen_ins.select("host_bucket", "key_hash").unionByName(
+                r_seen_ins.select("host_bucket", "key_hash")
+            ),
+        )
 
-        # 7. visit log (pure-function crawl order evidence)
-        visits = scheduled.join(deferred_page_hosts, "hostname", "left_anti").select(
+        # 7. visit log (pure-function crawl order evidence): every scheduled
+        # fetch was actually performed this batch and is logged exactly once
+        # — carried-over rows log in the batch that finally schedules them
+        visits = scheduled.select(
             F.lit(batch_id).alias("batch_id"),
             "forge_id", "hostname", "page", "idx_in_page", "doc_id",
         )
         self.visit_log.append(visits, {"batch_id": batch_id})
 
         # 8. lineage counters per partition (A3 / north_rule)
-        fetched_n = scheduled.join(deferred_page_hosts, "hostname", "left_anti")
+        fetched_n = scheduled
         counts = (
             fetched_n.groupBy("host_bucket")
             .agg(F.count(F.lit(1)).alias("fetched"))
@@ -419,12 +588,18 @@ class CrawlEngine:
             )
             .join(host_repo_counts, "hostname", "left")
             .join(
-                deferred_page_hosts.withColumn("__deferred", F.lit(True)),
+                deferred_hosts.withColumn("__deferred", F.lit(True)),
                 "hostname",
                 "left",
             )
         )
         got_repos = F.col("page_found") & F.col("__n_repos").isNotNull()
+        new_active = (
+            F.when(F.col("__deferred").isNotNull(), F.lit(True))
+            .when(F.col("page_found").isNull(), F.col("active"))
+            .when(got_repos, F.lit(True))
+            .otherwise(F.lit(False))
+        )
         new_state = (
             self.state.read(self.spark)
             .join(page_status, "hostname", "left")
@@ -434,19 +609,50 @@ class CrawlEngine:
                 .when(got_repos, F.col("next_page") + 1)
                 .otherwise(F.col("next_page"))
                 .alias("next_page"),
-                F.when(F.col("__deferred").isNotNull(), F.lit(True))
-                .when(F.col("page_found").isNull(), F.col("active"))
-                .when(got_repos, F.lit(True))
-                .otherwise(F.lit(False))
-                .alias("active"),
+                new_active.alias("active"),
                 "effective_rate_ms", "host_bucket",
+                # P3: stamp the injected batch time when the host drains
+                F.when(
+                    F.col("active") & ~new_active,
+                    F.lit(self._batch_time_s).cast("long"),
+                )
+                .otherwise(F.col("last_crawl_on"))
+                .alias("last_crawl_on"),
             )
+        )
+        # carried fetches for the next batch (written before the state
+        # commit; a kill between the two replays this batch idempotently)
+        self.pending.overwrite(
+            deferred.select(*[f.name for f in PENDING.fields]),
+            {"batch_id": batch_id},
         )
         self.state.overwrite(new_state, {"batch_id": batch_id})
 
         scheduled.unpersist()
         deferred.unpersist()
         sched_repo_rows.unpersist()
+
+    # -- deletes (delete_user / delete_repository parity) ------------------------------
+
+    def delete_users(self, keys: DataFrame) -> DataFrame:
+        """Reference ``delete_user`` (db/db-sqlx-sqlite/src/lib.rs:677-705):
+        remove matching users and their url_seen membership, so a later
+        crawl re-adds them (observable add→delete→re-add state equals the
+        reference's). Returns the deleted seen-key rows — a cuckoo-backed
+        deployment feeds them to ``cuckoo.update`` as ``op='delete'``; the
+        bloom layer needs no eviction (stale bits are false positives, which
+        the exact confirm join resolves)."""
+        _, del_rows = self.users.merge_delete(self.spark, keys)
+        seen_keys = self._seen_keys(del_rows, "user", F.col("username"), None)
+        self.url_seen.merge_delete(self.spark, seen_keys)
+        return seen_keys
+
+    def delete_repositories(self, keys: DataFrame) -> DataFrame:
+        """Reference ``delete_repository`` (db/db-sqlx-sqlite/src/lib.rs:707-733)."""
+        _, del_rows = self.repositories.merge_delete(self.spark, keys)
+        seen_keys = self._seen_keys(del_rows, "repo", F.col("name"), F.col("owner"))
+        self.url_seen.merge_delete(self.spark, seen_keys)
+        return seen_keys
 
     # -- derived outputs -------------------------------------------------------------
 

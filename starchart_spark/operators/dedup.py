@@ -72,12 +72,20 @@ def anti_join_seen(
     """Rows of ``candidates`` whose key is absent from ``seen`` (D2-D4).
 
     Exact membership; first writer wins when the result is merged back.
+    NULL-safe on every key column (``<=>``): the engine's user keys carry
+    key2=NULL and forge keys key1=key2=NULL, and the reference's UNIQUE
+    gates treat those as equal — plain ``=`` would silently pass every
+    previously-seen NULL-keyed row through the gate. Spark hash-joins on
+    EqualNullSafe keys, so this stays a co-partitioned hash join.
     """
-    return candidates.join(
-        seen.select(*key_cols).dropDuplicates(list(key_cols)),
-        on=list(key_cols),
-        how="left_anti",
-    )
+    s = seen.select(
+        *[F.col(c).alias(f"__seen_{c}") for c in key_cols]
+    ).dropDuplicates([f"__seen_{c}" for c in key_cols])
+    cond = None
+    for c in key_cols:
+        eq = candidates[c].eqNullSafe(s[f"__seen_{c}"])
+        cond = eq if cond is None else cond & eq
+    return candidates.join(s, cond, "left_anti")
 
 
 def seen_filter(

@@ -145,11 +145,14 @@ def sliding_limiter(
 ) -> DataFrame:
     """P6 leaky bucket as a range window: trailing count per peer; over the
     threshold ⇒ back off (the reference stops proxying searches to the peer).
+
+    Millisecond precision: truncating to whole seconds would count
+    sub-second-boundary events differently from an exact INTERVAL oracle.
     """
     w = (
         Window.partitionBy(peer_col)
-        .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
-        .rangeBetween(-window_s, 0)
+        .orderBy(F.unix_millis(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-window_s * 1000, 0)
     )
     return events.withColumn("window_count", F.count(F.lit(1)).over(w)).withColumn(
         out_col, F.col("window_count") > threshold

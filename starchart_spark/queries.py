@@ -273,8 +273,8 @@ SELECT user_id, max(cnt) AS max_in_window,
        max(CASE WHEN cnt > 50 THEN 1 ELSE 0 END) AS ever_over
 FROM (
   SELECT user_id, count(*) OVER (
-    PARTITION BY user_id ORDER BY ts
-    RANGE BETWEEN INTERVAL 54 SECONDS PRECEDING AND CURRENT ROW) AS cnt
+    PARTITION BY user_id ORDER BY epoch_ms(CAST(ts AS TIMESTAMP))
+    RANGE BETWEEN 54000 PRECEDING AND CURRENT ROW) AS cnt
   FROM events
 ) GROUP BY user_id
 """
@@ -695,6 +695,127 @@ FROM documents
 """
 
 
+def q_publiccode_roundtrip(spark, sf_dir):
+    """N5/N6 federation gate: repo-shaped rows rendered to publiccode.yml
+    (vectorized YAML) and ingested back — the projection through the real
+    render+parse path must be the identity (schema.rs:100-162)."""
+    from starchart_spark.crawl import federate
+
+    p = _t(spark, sf_dir, "part")
+    repos = p.select(
+        F.concat(
+            F.lit("https://forge-"),
+            (F.col("p_partkey") % 7).cast("string"),
+            F.lit(".test/"),
+        ).alias("hostname"),
+        F.col("p_brand").alias("owner"),
+        F.concat(F.lit("part-"), F.col("p_partkey").cast("string")).alias("name"),
+        F.col("p_name").alias("description"),
+        F.when(
+            F.col("p_size") % 2 == 0,
+            F.concat(F.lit("https://w.test/"), F.col("p_partkey").cast("string")),
+        ).alias("website"),
+        F.concat(
+            F.lit("https://x.test/"),
+            F.col("p_brand"),
+            F.lit("/part-"),
+            F.col("p_partkey").cast("string"),
+        ).alias("html_url"),
+        F.split(F.col("p_type"), " ").alias("tags"),
+    )
+    back = federate.ingest_publiccode(
+        federate.render_publiccode(repos).select("hostname", "yaml")
+    )
+    return back.select(
+        "hostname", "owner", "name", "description", "website", "html_url",
+        F.concat_ws("|", "tags").alias("tags_joined"),
+    )
+
+
+SQL_PUBLICCODE_ROUNDTRIP = """
+SELECT 'https://forge-' || (p_partkey % 7) || '.test/' AS hostname,
+       p_brand AS owner,
+       'part-' || p_partkey AS name,
+       p_name AS description,
+       CASE WHEN p_size % 2 = 0 THEN 'https://w.test/' || p_partkey END AS website,
+       'https://x.test/' || p_brand || '/part-' || p_partkey AS html_url,
+       replace(p_type, ' ', '|') AS tags_joined
+FROM part
+"""
+
+
+def q_mini_index_targeting(spark, sf_dir):
+    """J6: federated search targeting — per-source mini-index (distinct
+    words), wildcard-matched against a term, hit sources broadcast-joined to
+    their instance URLs (db/db-sqlx-sqlite/src/lib.rs:111-139)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    hits = (
+        words.filter(F.col("word").contains("data"))  # wildcarded *data* (N9)
+        .groupBy("source")
+        .agg(F.countDistinct("word").alias("n_matching_words"))
+    )
+    instances = d.select("source").distinct().select(
+        "source",
+        F.concat(F.lit("https://"), "source", F.lit(".starchart.test/")).alias(
+            "instance_url"
+        ),
+    )
+    return hits.join(F.broadcast(instances), "source")
+
+
+SQL_MINI_INDEX_TARGETING = r"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+)
+SELECT source, count(DISTINCT word) AS n_matching_words,
+       'https://' || source || '.starchart.test/' AS instance_url
+FROM words WHERE word <> '' AND word LIKE '%data%'
+GROUP BY source
+"""
+
+
+def q_import_forges_dedup(spark, sf_dir):
+    """S12/D10: import a peer's forge list — insert-if-absent with
+    imported=true + source-instance lineage (src/introduce.rs:59-87). Local
+    rows win; only genuinely new hostnames land tagged."""
+    n = _t(spark, sf_dir, "nation")
+    mine = n.filter(F.col("n_nationkey") < 15).select(
+        F.concat(F.lit("https://"), F.lower("n_name"), F.lit(".test/")).alias("hostname"),
+        F.lit(False).alias("imported"),
+        F.lit(None).cast("string").alias("starchart_instance"),
+    )
+    peer = n.filter(F.col("n_nationkey") >= 5).select(
+        F.concat(F.lit("https://"), F.lower("n_name"), F.lit(".test/")).alias("hostname")
+    )
+    fresh = peer.join(mine.select("hostname"), "hostname", "left_anti").select(
+        "hostname",
+        F.lit(True).alias("imported"),
+        F.lit("https://peer.starchart.test/").alias("starchart_instance"),
+    )
+    return mine.unionByName(fresh)
+
+
+SQL_IMPORT_FORGES_DEDUP = """
+WITH mine AS (
+  SELECT 'https://' || lower(n_name) || '.test/' AS hostname,
+         FALSE AS imported, CAST(NULL AS VARCHAR) AS starchart_instance
+  FROM nation WHERE n_nationkey < 15
+), peer AS (
+  SELECT 'https://' || lower(n_name) || '.test/' AS hostname
+  FROM nation WHERE n_nationkey >= 5
+)
+SELECT * FROM mine
+UNION ALL
+SELECT hostname, TRUE AS imported,
+       'https://peer.starchart.test/' AS starchart_instance
+FROM peer WHERE hostname NOT IN (SELECT hostname FROM mine)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -736,4 +857,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "media_type_dispatch": (q_media_type_dispatch, SQL_MEDIA_TYPE_DISPATCH),
+    # federation surface (round 2: S8/S11/J6/S12 driver-gated)
+    "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
+    "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),
+    "import_forges_dedup": (q_import_forges_dedup, SQL_IMPORT_FORGES_DEDUP),
 }

@@ -40,10 +40,20 @@ def get_spark(
         )
 
     # local-mode shuffles hit spark.local.dir hard; tmpfs (RAM-backed) is the
-    # sandbox equivalent of the NVMe-local shuffle dirs a real cluster uses
+    # sandbox equivalent of the NVMe-local shuffle dirs a real cluster uses.
+    # tmpfs pages and the JVM heap charge the same physical RAM though — if
+    # shm is already tight, fall back to /tmp instead of inviting the OOM
+    # killer into the Python workers (round-1 bench crash).
     local_dir = os.environ.get("STARCHART_LOCAL_DIR", "/dev/shm/spark-local")
     try:
         os.makedirs(local_dir, exist_ok=True)
+        if local_dir.startswith("/dev/shm"):
+            import shutil
+
+            free_gib = shutil.disk_usage("/dev/shm").free / (1 << 30)
+            if free_gib < 16:
+                local_dir = "/tmp/spark-local"
+                os.makedirs(local_dir, exist_ok=True)
     except OSError:
         local_dir = None
 
@@ -63,6 +73,11 @@ def get_spark(
         # bloom seen-filter for large anti-joins
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Python-worker crash forensics (round-1 driver bench died with
+        # "Python worker exited unexpectedly" and no traceback)
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        .config("spark.python.worker.reuse", "true")
         # local mode: the driver heap IS the cluster memory; size it for the
         # parallelism (32 tasks × shuffle/persist buffers starve an 8g heap)
         .config("spark.driver.memory", os.environ.get("STARCHART_DRIVER_MEM", "32g"))

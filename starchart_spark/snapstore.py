@@ -36,11 +36,27 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
 def _now_ms() -> int:
     return int(time.time() * 1000)
+
+
+def _key_join(left: DataFrame, right: DataFrame, keys: list[str], how: str) -> DataFrame:
+    """Semi/anti join on the natural key, NULL-safe (``<=>``): nullable key
+    columns (e.g. url_seen.key2 for user keys) must compare equal when both
+    NULL — SQL ``=`` would silently fail every such match, turning
+    insert-if-absent into append. Spark hash-joins EqualNullSafe keys."""
+    r = right.select(*[F.col(c).alias(f"__k_{c}") for c in keys]).dropDuplicates(
+        [f"__k_{c}" for c in keys]
+    )
+    cond = None
+    for c in keys:
+        eq = left[c].eqNullSafe(r[f"__k_{c}"])
+        cond = eq if cond is None else cond & eq
+    return left.join(r, cond, how)
 
 
 @dataclass
@@ -154,7 +170,7 @@ class SnapshotTable:
         cols = [f.name for f in self.schema.fields]
         incoming = df.select(cols).dropDuplicates(self.key_cols)
         existing = self.read(spark)
-        fresh = incoming.join(existing.select(self.key_cols), self.key_cols, "left_anti")
+        fresh = _key_join(incoming, existing, self.key_cols, "left_anti")
         fresh = fresh.persist()
         n = fresh.count()
         if n == 0:
@@ -172,6 +188,47 @@ class SnapshotTable:
             files, {"op": "merge-insert", "inserted": n, "ts_ms": _now_ms(), **(summary or {})}
         )
         return snap, fresh
+
+    def merge_update(
+        self, spark: SparkSession, df: DataFrame, summary: dict | None = None
+    ) -> Snapshot:
+        """MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT
+        (upsert on the natural key). Sandbox implementation rewrites the
+        table; real Iceberg MERGE copy-on-writes only the matched files."""
+        cols = [f.name for f in self.schema.fields]
+        incoming = df.select(cols).dropDuplicates(self.key_cols)
+        kept = _key_join(self.read(spark), incoming, self.key_cols, "left_anti")
+        rel = self._write_data_file(kept.unionByName(incoming))
+        return self._commit(
+            [rel], {"op": "merge-update", "ts_ms": _now_ms(), **(summary or {})}
+        )
+
+    def merge_delete(
+        self, spark: SparkSession, keys: DataFrame, summary: dict | None = None
+    ) -> tuple[Snapshot, DataFrame]:
+        """MERGE ... WHEN MATCHED THEN DELETE: drop rows whose natural key
+        appears in ``keys`` (the reference's ``delete_user`` /
+        ``delete_repository``, db/db-sqlx-sqlite/src/lib.rs:677-733).
+        Returns the new snapshot and the rows that were actually deleted —
+        callers use them to evict cuckoo-filter fingerprints."""
+        existing = self.read(spark)
+        deleted = _key_join(existing, keys, self.key_cols, "left_semi").persist()
+        n = deleted.count()
+        if n == 0:
+            deleted.unpersist()
+            cur = self.current_snapshot()
+            snap = self._commit(
+                cur.data_files if cur else [],
+                {"op": "merge-delete-noop", "ts_ms": _now_ms(), **(summary or {})},
+            )
+            return snap, spark.createDataFrame([], self.schema)
+        remaining = _key_join(existing, keys, self.key_cols, "left_anti")
+        rel = self._write_data_file(remaining)
+        snap = self._commit(
+            [rel],
+            {"op": "merge-delete", "deleted": n, "ts_ms": _now_ms(), **(summary or {})},
+        )
+        return snap, deleted
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
         """Replace table contents (delete-then-insert, e.g. mini-index import,

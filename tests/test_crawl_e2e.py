@@ -124,3 +124,154 @@ def test_lineage_totals(crawl_result):
     f = first_run.agg(F.sum("fetched")).collect()[0][0]
     assert f == len(corpus.golden_crawl_order)
     assert tot["d"] == 0  # unbounded budget ⇒ nothing deferred
+
+
+def test_budget_carryover_no_tag_loss(spark, tmp_path_factory):
+    """Politeness budget splits a page's topic fetches across batches: the
+    deferred fetches are carried (pending table) and retried, so tags are
+    never lost, every fetch is logged exactly once, and the final tables
+    equal the unbudgeted run's (ADVICE round-1 high fix)."""
+    spec = CorpusSpec(n_forges=2, repos_per_forge=20, page_size=20)
+    corpus = make_corpus(spec)
+    dfs = corpus_to_spark(spark, corpus)
+
+    eng_a = CrawlEngine(
+        spark, str(tmp_path_factory.mktemp("wh_nobudget")),
+        CrawlSettings(host_buckets=4),
+    )
+    eng_a.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_a.run(dfs["documents"])
+
+    # rate 2000 ms; a 20-repo page = 1 page fetch + 20 topic fetches with
+    # slots 0..40000 ms; budget 9000 ms ⇒ ~5 fetches per host per batch
+    eng_b = CrawlEngine(
+        spark, str(tmp_path_factory.mktemp("wh_budget")),
+        CrawlSettings(host_buckets=4, budget_ms=9000),
+    )
+    eng_b.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_b.run(dfs["documents"])
+
+    # deferrals actually happened
+    lin = eng_b.lineage.read(spark)
+    assert lin.agg(F.sum("deferred_by_politeness")).collect()[0][0] > 0
+
+    # tags identical — including on repos whose topic fetch was deferred
+    cols = ["hostname", "owner", "name", "tags"]
+    a = _sorted_rows(
+        eng_a.repositories.read(spark).withColumn("tags", F.to_json("tags")), cols
+    )
+    b = _sorted_rows(
+        eng_b.repositories.read(spark).withColumn("tags", F.to_json("tags")), cols
+    )
+    assert a == b
+    assert eng_b.repositories.read(spark).filter(
+        F.array_contains("tags", "testing")
+    ).count() == spec.n_forges * spec.repos_per_forge
+
+    # every fetch logged exactly once, and the pure-function crawl order
+    # equals the unbudgeted run's
+    log = eng_b.visit_log.read(spark)
+    assert log.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    order_cols = ["seq", "hostname", "page", "idx_in_page", "doc_id"]
+    assert _sorted_rows(eng_b.crawl_order(), order_cols) == _sorted_rows(
+        eng_a.crawl_order(), order_cols
+    )
+
+    # users identical too (merged only after the page completed)
+    ucols = ["hostname", "username"]
+    assert _sorted_rows(eng_b.users.read(spark), ucols) == _sorted_rows(
+        eng_a.users.read(spark), ucols
+    )
+
+
+def test_ttl_recrawl_cycle(spark, tmp_path_factory):
+    """P3: drained hosts reactivate once the injected clock passes ttl; the
+    second cycle reproduces the first cycle's crawl order and is idempotent
+    (reference: publish tar, sleep ttl, restart page counter,
+    src/spider.rs:192-202)."""
+    spec = CorpusSpec(n_forges=2, repos_per_forge=20, page_size=20)
+    dfs = corpus_to_spark(spark, make_corpus(spec))
+    eng = CrawlEngine(
+        spark, str(tmp_path_factory.mktemp("wh_ttl")),
+        CrawlSettings(host_buckets=4),
+    )
+    eng.init_state(dfs["seed_forges"], dfs["consent"])
+    stats1 = eng.run(dfs["documents"], batch_time_s=1_000)
+
+    st = eng.state.read(spark)
+    assert st.filter(F.col("active")).count() == 0
+    assert st.filter(F.col("last_crawl_on") == 1_000).count() == spec.n_forges
+    # forges table mirrors last_crawl_on (db/db-core/src/lib.rs:156-157)
+    assert eng.forges.read(spark).filter(
+        F.col("last_crawl_on") == 1_000
+    ).count() == spec.n_forges
+    cycle1 = [tuple(r) for r in eng.crawl_order().orderBy("seq").collect()]
+    n_visits_1 = eng.visit_log.read(spark).count()
+
+    # not due yet: ttl is 432000 s
+    assert eng.reactivate_due(now_s=1_000 + 10) == 0
+    # due: all hosts re-enter at page 1
+    assert eng.reactivate_due(now_s=1_000 + 432_000) == spec.n_forges
+    st2 = eng.state.read(spark)
+    assert st2.filter(F.col("active")).count() == spec.n_forges
+    assert st2.filter(F.col("next_page") == 1).count() == spec.n_forges
+
+    before_u = eng.users.read(spark).count()
+    before_r = eng.repositories.read(spark).count()
+    eng.run(dfs["documents"], batch_time_s=1_000 + 432_000 + 500)
+    # idempotent end state; second cycle visited the same docs again
+    assert eng.users.read(spark).count() == before_u
+    assert eng.repositories.read(spark).count() == before_r
+    assert eng.visit_log.read(spark).count() == 2 * n_visits_1
+    # second cycle's per-cycle order equals the first cycle's
+    log2 = eng.visit_log.read(spark).filter(
+        F.col("batch_id") > stats1["last_batch_id"]
+    )
+    got2 = [
+        (r["hostname"], r["page"], r["idx_in_page"], r["doc_id"])
+        for r in log2.orderBy("forge_id", "page", "idx_in_page").collect()
+    ]
+    got1 = [(t[0], t[1], t[2], t[3]) for t in cycle1]  # (host, page, idx, doc_id)
+    assert got2 == got1
+    assert eng.state.read(spark).filter(
+        F.col("last_crawl_on") == 1_000 + 432_000 + 500
+    ).count() == spec.n_forges
+
+
+def test_delete_then_recrawl_readds(spark, tmp_path_factory):
+    """delete_user/delete_repository parity: deleted entities leave the
+    table AND the url_seen set, so the next crawl cycle re-adds them —
+    add → delete → re-add equals the reference's observable state."""
+    spec = CorpusSpec(n_forges=1, repos_per_forge=20, page_size=20)
+    dfs = corpus_to_spark(spark, make_corpus(spec))
+    eng = CrawlEngine(
+        spark, str(tmp_path_factory.mktemp("wh_del")),
+        CrawlSettings(host_buckets=4),
+    )
+    eng.init_state(dfs["seed_forges"], dfs["consent"])
+    eng.run(dfs["documents"], batch_time_s=50)
+
+    repos = eng.repositories.read(spark)
+    victim = repos.orderBy("name").limit(1)
+    vrow = victim.collect()[0]
+    eng.delete_repositories(victim.select("hostname", "owner", "name"))
+    assert eng.repositories.read(spark).filter(
+        F.col("name") == vrow["name"]
+    ).count() == 0
+    assert eng.url_seen.read(spark).filter(
+        (F.col("key_kind") == "repo") & (F.col("key1") == vrow["name"])
+    ).count() == 0
+
+    users = eng.users.read(spark)
+    eng.delete_users(users.select("hostname", "username").limit(1))
+    assert eng.users.read(spark).count() == 0  # single 'bot' user
+    assert eng.url_seen.read(spark).filter(F.col("key_kind") == "user").count() == 0
+
+    # re-crawl cycle re-adds exactly the deleted entities
+    eng.reactivate_due(now_s=50 + 432_000)
+    eng.run(dfs["documents"], batch_time_s=50 + 432_000 + 1)
+    assert eng.repositories.read(spark).filter(
+        F.col("name") == vrow["name"]
+    ).count() == 1
+    assert eng.users.read(spark).count() == 1
+    assert eng.repositories.read(spark).count() == spec.repos_per_forge

@@ -77,6 +77,83 @@ def test_seen_filter_same_answers_with_and_without_bloom(spark, keyed):
     assert a == b
 
 
+def test_bloom_incremental_update_no_false_negatives(spark, keyed):
+    old = keyed.filter(F.col("key_hash") < 1000)
+    new = keyed.filter(F.col("key_hash") >= 1000)
+    filters = bloom.update(bloom.build(old), new)
+    probed = bloom.probe(spark, keyed, filters)
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+    # fresh keys still mostly probe False (capacity headroom holds FPR)
+    fresh = spark.createDataFrame(
+        [(i + 5_000_000, f"host-{i % 7}", i % 16) for i in range(2000)],
+        ["key_hash", "hostname", "host_bucket"],
+    )
+    fp = bloom.probe(spark, fresh, filters).filter(F.col("maybe_seen")).count()
+    assert fp / 2000 < 0.05
+
+
+def test_bloom_update_untouched_buckets_passthrough(spark, keyed):
+    filters = bloom.build(keyed)
+    one_bucket = spark.createDataFrame(
+        [(7_777_777, "host-0", 0)], ["key_hash", "hostname", "host_bucket"]
+    )
+    updated = bloom.update(filters, one_bucket)
+    before = {r["host_bucket"]: bytes(r["bitmap"]) for r in filters.collect()}
+    after = {r["host_bucket"]: bytes(r["bitmap"]) for r in updated.collect()}
+    assert set(before) == set(after)
+    changed = [b for b in before if before[b] != after[b]]
+    assert changed == [0]  # only the touched bucket's bitmap moved
+
+
+def test_bloom_overfull_flags_outgrown_bucket(spark):
+    small = spark.createDataFrame(
+        [(i, "h", 3) for i in range(50)], ["key_hash", "hostname", "host_bucket"]
+    )
+    grow = spark.createDataFrame(
+        [(i + 1000, "h", 3) for i in range(400)],
+        ["key_hash", "hostname", "host_bucket"],
+    )
+    filters = bloom.build(small)
+    assert bloom.overfull(filters).count() == 0
+    updated = bloom.update(filters, grow)
+    assert [r["host_bucket"] for r in bloom.overfull(updated).collect()] == [3]
+    # no false negatives even while overfull
+    both = small.unionByName(grow)
+    assert bloom.probe(spark, both, updated).filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_probe_plan_is_copartitioned_not_broadcast(spark, keyed):
+    """North-rule scale contract: the probe must never collect/broadcast the
+    full filter set — the plan is a cogroup on host_bucket."""
+    filters = bloom.build(keyed)
+    plan = bloom.probe(spark, keyed, filters)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BroadcastExchange" not in plan
+    cplan = cuckoo.probe(spark, keyed, cuckoo.build(keyed))._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in cplan
+    assert "BroadcastExchange" not in cplan
+
+
+def test_cuckoo_incremental_update_add_delete(spark, keyed):
+    filters = cuckoo.build(keyed)
+    changes = spark.createDataFrame(
+        [(8_888_001, "host-1", 1, "add"), (8_888_002, "host-1", 1, "add")]
+        + [(15, "host-1", 1, "delete")],  # key 15 lives in bucket 15%16... use its real bucket
+        ["key_hash", "hostname", "host_bucket", "op"],
+    )
+    updated = cuckoo.update(filters, changes)
+    added = spark.createDataFrame(
+        [(8_888_001, "host-1", 1), (8_888_002, "host-1", 1)],
+        ["key_hash", "hostname", "host_bucket"],
+    )
+    assert cuckoo.probe(spark, added, updated).filter(~F.col("maybe_seen")).count() == 0
+    # all original keys in untouched buckets still present
+    survivors = keyed.filter(F.col("host_bucket") != 1)
+    assert (
+        cuckoo.probe(spark, survivors, updated).filter(~F.col("maybe_seen")).count() == 0
+    )
+
+
 def test_cuckoo_membership_and_delete():
     ct = cuckoo.CuckooTable(1000)
     import numpy as np

@@ -48,13 +48,38 @@ def test_publiccode_yaml_shape(spark, repos):
 def test_mini_index_case_sensitive_and_ordered(spark):
     rows = [("https://h/", "bot", n, None, None, f"https://h/bot/{n}", None, False)
             for n in ["alpha-Beta", "beta gamma", "alpha"]]
-    repos = spark.createDataFrame(rows, tables.REPOSITORIES)
-    words = federate.mini_index_words(repos)
+    repos = spark.createDataFrame(rows, tables.REPOSITORIES).withColumn(
+        "seq",
+        F.when(F.col("name") == "alpha-Beta", 0)
+        .when(F.col("name") == "beta gamma", 1)
+        .otherwise(2),
+    )
+    words = federate.mini_index_words(repos, "seq")
     out = federate.export_mini_index(words)
     toks = out.split(" ")
     # case-sensitive: Beta and beta both present (db/db-core/src/tests.rs:154-170)
     assert "Beta" in toks and "beta" in toks
     assert sorted(set(toks)) == sorted(toks)  # unique words
+    # insertion order: alpha-Beta's words first, then beta/gamma
+    assert toks.index("alpha") < toks.index("beta") < toks.index("gamma")
+
+
+def test_mini_index_deterministic_across_partitionings(spark):
+    rows = [
+        ("https://h/", "bot", f"word{i % 13} repo{i}", None, None,
+         f"https://h/bot/r{i}", None, False)
+        for i in range(60)
+    ]
+    repos = spark.createDataFrame(rows, tables.REPOSITORIES).withColumn(
+        "seq", F.xxhash64("name")  # pure function of the data
+    )
+    out1 = federate.export_mini_index(
+        federate.mini_index_words(repos.repartition(1), "seq")
+    )
+    out7 = federate.export_mini_index(
+        federate.mini_index_words(repos.repartition(7), "seq")
+    )
+    assert out1 == out7
 
 
 def test_mini_index_import_overwrites(spark, tmp_path):
