@@ -9,7 +9,7 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from starchart_spark.functions.urls import canonicalize_series, hostname_series
-from starchart_spark.operators.bloom import _params, _positions
+from starchart_spark.operators.bloom import _capacity_bits, _k_hashes, _positions
 from starchart_spark.operators.cuckoo import CuckooTable
 
 hosts = st.from_regex(r"[a-z]([a-z0-9\-]{0,20}[a-z0-9])?(\.[a-z]{2,6}){1,3}", fullmatch=True)
@@ -46,7 +46,7 @@ def test_canonicalize_properties(scheme, host, port, path, query, frag):
 @settings(max_examples=50, deadline=None)
 def test_bloom_positions_no_false_negatives(keys):
     arr = np.array(keys, dtype=np.int64).view(np.uint64)
-    m, k = _params(len(arr), 10)
+    m, k = _capacity_bits(len(arr), 10), _k_hashes(10)
     bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
     pos = _positions(arr, k, m).ravel()
     np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
