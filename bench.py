@@ -196,24 +196,19 @@ def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dic
     )
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    # codegen warmup at the tiniest SF: a long-lived cluster compiles each
-    # query's generated code once and amortizes it over the whole run; the
-    # per-query numbers below measure steady-state execution, not Janino
-    for name in HEADLINE_QUERIES:
-        fn, _ = QUERIES[name]
-        try:
-            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass  # warmup is best-effort; the timed run below surfaces errors
-
+    # codegen warmup immediately before each timed run: a long-lived cluster
+    # compiles each query's generated code once and amortizes it over the
+    # whole job, so the timed number is steady-state execution, not Janino.
+    # Warm at the TARGET sf (AQE picks size-dependent join strategies, so a
+    # tiny-sf warmup compiles different code) and right before timing (the
+    # JVM codegen cache holds ~100 entries — warming all queries up front
+    # evicts the early ones).
     per_query: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         fn, _ = QUERIES[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
 
     warmup(spark)
