@@ -58,7 +58,9 @@ HEADLINE_QUERIES = [
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge
 SEEN_FRACTION = 0.3
-HOST_BUCKETS = 64
+# enough buckets that per-bucket work (bloom build, store files) spreads
+# over every core at local[32] AND over a 1000-executor cluster
+HOST_BUCKETS = 256
 
 
 def synth_frontier(spark, n_urls: int):
@@ -85,9 +87,12 @@ def synth_frontier(spark, n_urls: int):
 def _keyed(frontier):
     """Canonical page key: canonical host (D1 UDF) + path identity.
 
-    Projects NARROW immediately — only (id, hostname, key_hash, host_bucket)
-    survive; the raw url / intermediate strings never reach a shuffle or the
-    cache (at 10^10 rows the 8-byte key is what moves, not the URL bytes).
+    Projects NARROW immediately — only (id, host_key, key_hash, host_bucket)
+    survive: 28 bytes/row. The hostname string itself lives in the tiny
+    per-host dim (dictionary encoding); scheduling only needs host
+    *identity*, so the shuffles downstream move a long, not a string — at
+    10^10 rows that is the difference between a 280 GB and a 500+ GB
+    exchange.
     """
     with_canon = canonicalize_via_dim(frontier, "url", "hostname")
     page_key = F.concat(
@@ -95,7 +100,7 @@ def _keyed(frontier):
     )
     return with_canon.select(
         "id",
-        "hostname",
+        F.xxhash64("hostname").alias("host_key"),
         F.xxhash64(page_key).alias("key_hash"),
         host_bucket("hostname", HOST_BUCKETS).alias("host_bucket"),
     )
@@ -125,14 +130,19 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     stages: dict[str, float] = {}
     t0 = time.time()
     # stage 1: rebuild partitioned bloom from the seen table (resume path)
-    filters = bloom_mod.build(seen).persist()
-    filters.count()
+    # and persist it as the per-bucket side-file store the probe reads
+    import tempfile
+
+    filters = bloom_mod.build(seen)
+    store = tempfile.mkdtemp(prefix="bloomstore-")
+    bloom_mod.save_store(filters, store)
     stages["bloom_build"] = round(time.time() - t0, 3)
     # stage 2: canonicalize → hash → bloom probe in ONE pass. The dim-join
-    # canonicalizer leaves the probe as the only per-row Python stage, so no
-    # UDF chaining remains and no intermediate cache is needed.
+    # canonicalizer leaves the probe as the only per-row Python stage; the
+    # probe reads per-bucket filter files lazily (no shuffle, no broadcast,
+    # workers cache the buckets their partitions touch).
     t1 = time.time()
-    probed = bloom_mod.probe(spark, _keyed(frontier), filters).persist()
+    probed = bloom_mod.probe_with_store(_keyed(frontier), store).persist()
     probed.count()
     stages["canonicalize_hash_probe"] = round(time.time() - t1, 3)
     # stage 3: confirm anti-join + in-frontier keep-first (hash agg, map-side
@@ -142,10 +152,10 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     # Catalyst reuses one exchange, and the anti-join probe side shrinks to
     # the deduped set
     uniq0 = dedup.keep_first_agg(
-        probed.select("id", "hostname", "key_hash", "maybe_seen"), ["key_hash"], "id"
+        probed.select("id", "host_key", "key_hash", "maybe_seen"), ["key_hash"], "id"
     )
     uniq = dedup.seen_filter(uniq0, seen, ["key_hash"], "maybe_seen").select(
-        "id", "hostname", "key_hash"
+        "id", "host_key", "key_hash"
     ).persist()
     uniq_total = uniq.count()  # materialize BEFORE the fan-out below — a lazy
     # cache is recomputed when the first actions race over it
@@ -156,10 +166,10 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     rate_ms = 100
     budget_ms = 60_000_000
     k_slots = budget_ms // rate_ms
-    host_counts = uniq.groupBy("hostname").agg(F.count(F.lit(1)).alias("__n"))
-    hot_hosts = host_counts.filter(F.col("__n") > k_slots).select("hostname")
-    hot = uniq.join(F.broadcast(hot_hosts), "hostname", "left_semi")
-    ranked = skew.ranked_by_host(hot, "hostname", "id")
+    host_counts = uniq.groupBy("host_key").agg(F.count(F.lit(1)).alias("__n"))
+    hot_hosts = host_counts.filter(F.col("__n") > k_slots).select("host_key")
+    hot = uniq.join(F.broadcast(hot_hosts), "host_key", "left_semi")
+    ranked = skew.ranked_by_host(hot, "host_key", "id")
     row = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("host_rank") > k_slots).cast("long")).alias("deferred"),
@@ -170,7 +180,6 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     n_deferred = int(row["deferred"] or 0)
     n_scheduled = uniq_total - n_deferred  # cold hosts schedule wholly
     seen.unpersist()
-    filters.unpersist()
     probed.unpersist()
     uniq.unpersist()
     return {

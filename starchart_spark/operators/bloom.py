@@ -29,11 +29,14 @@ filter maintenance cost stays O(new keys).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -213,3 +216,79 @@ def probe(
         .cogroup(filters.groupBy(bucket_col))
         .applyInPandas(_probe, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# store-backed probe: the frontier-scale path
+# ---------------------------------------------------------------------------
+#
+# The cogroup probe above moves the candidate rows through one Arrow
+# round-trip per bucket — fine for engine micro-batches (thousands of rows),
+# wasteful for a 10^7+-row frontier sweep. The store-backed variant persists
+# one small file per bucket next to the seen-set table (the Iceberg
+# side-file pattern) and probes with a scalar Arrow UDF: no shuffle, no
+# broadcast, no driver collect — each long-lived worker lazily loads only
+# the buckets that appear in its partitions and caches them across batches.
+
+_STORE_CACHE: dict = {}  # (store_dir, bucket) -> (m, k, bitmap) per worker
+
+
+def save_store(filters: DataFrame, store_dir: str) -> None:
+    """Write one ``<bucket>.bloom`` file (24-byte header + bitmap) per
+    bucket. Executors write their own partitions (shared filesystem /
+    object store at cluster scale); a store dir is immutable once written —
+    write a fresh epoch-named dir per filter generation."""
+    os.makedirs(store_dir, exist_ok=True)
+
+    def _write(rows) -> None:
+        for r in rows:
+            path = os.path.join(store_dir, f"{int(r['host_bucket'])}.bloom")
+            with open(path, "wb") as fh:
+                fh.write(
+                    np.array(
+                        [r["m_bits"], r["k_hashes"], r["n_keys"]], dtype=np.int64
+                    ).tobytes()
+                )
+                fh.write(bytes(r["bitmap"]))
+
+    filters.foreachPartition(_write)
+
+
+def probe_with_store(
+    candidates: DataFrame,
+    store_dir: str,
+    hash_col: str = "key_hash",
+    bucket_col: str = "host_bucket",
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Same contract as ``probe`` (missing bucket file ⇒ definitely new),
+    via the persisted per-bucket store. Narrow: only (bucket, hash) cross
+    the Arrow boundary, candidates keep their partitioning."""
+
+    @pandas_udf(T.BooleanType())
+    def _probe(bucket: pd.Series, hashes: pd.Series) -> pd.Series:
+        b = bucket.to_numpy(dtype=np.int64)
+        h = hashes.to_numpy(dtype=np.int64).view(np.uint64)
+        out = np.zeros(len(b), dtype=bool)
+        for bk in np.unique(b):
+            key = (store_dir, int(bk))
+            entry = _STORE_CACHE.get(key)
+            if entry is None:
+                path = os.path.join(store_dir, f"{int(bk)}.bloom")
+                if os.path.exists(path):
+                    raw = np.fromfile(path, dtype=np.uint8)
+                    hdr = raw[:24].view(np.int64)
+                    entry = (int(hdr[0]), int(hdr[1]), raw[24:])
+                else:
+                    entry = (0, 0, None)
+                _STORE_CACHE[key] = entry
+            m, k, bitmap = entry
+            if bitmap is None:
+                continue
+            sel = b == bk
+            pos = _positions(h[sel], k, m)
+            bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            out[sel] = bits.all(axis=1)
+        return pd.Series(out)
+
+    return candidates.withColumn(out_col, _probe(F.col(bucket_col), F.col(hash_col)))

@@ -125,6 +125,59 @@ def cosine_pairs_exact(
     )
 
 
+def cosine_pairs_lsh(
+    spark: SparkSession,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 4,
+    n_tables: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production near-dup pair mining: LSH candidates → exact rerank.
+
+    The scale path for ``cosine_pairs_exact`` (which stays the small-N
+    oracle): same-bucket self-join in any table produces candidates —
+    bucket-local, never all-pairs — and an exact JVM-side cosine keeps only
+    pairs ≥ threshold, so reported pairs are exact and LSH only bounds
+    recall. With n_planes=4, n_tables=32 a pair at cos 0.8 is missed with
+    probability (1-(1-θ/π)^4)^32 ≈ 8e-7 — below the 6-dp determinism noise
+    floor, so at thresholds ≥0.8 the exact-pairs SQL is a valid oracle.
+    """
+    sig = hyperplane_signatures(
+        spark, corpus, n_planes, n_tables, dim, seed, id_col, vec_col
+    )
+    a = sig.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        "bucket",
+    )
+    b = sig.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        "bucket",
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.withColumn("sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )
+
+
 def hyperplane_signatures(
     spark: SparkSession,
     df: DataFrame,

@@ -83,45 +83,34 @@ def ranked_by_host(
 
     1. range-partition globally by (host, k) — a hot host spans many
        partitions but stays contiguous and ordered across them;
-    2. count rows per (partition, host); collect that tiny table (≈ #hosts +
+    2. count rows per (partition, host) — a tiny table (≈ #hosts +
        #partitions rows, because only hosts straddling a boundary appear
-       twice) and turn it into per-(partition, host) prefix offsets;
+       twice); prefix-sum it per host with a window, entirely distributed
+       (a frontier with 10^6+ hosts must never collect this to the driver);
     3. local rank within (partition, host) + broadcast-joined offset.
 
     The expensive sort is the range partitioner's (parallel, balanced); no
     single task ever holds a whole hot host.
     """
-    spark = df.sparkSession
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     ranged = df.repartitionByRange(
         num_partitions, F.col(host_col), F.col(order_col)
     ).withColumn("__pid", F.spark_partition_id())
     ranged = ranged.persist()
-    counts = (
-        ranged.groupBy("__pid", host_col)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .collect()
+    counts = ranged.groupBy("__pid", host_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    # prefix offset per (pid, host): rows of the same host in earlier pids —
+    # a per-host running sum over ≤ num_partitions rows each
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # prefix offset per (pid, host): rows of the same host in earlier pids
-    by_host: dict = {}
-    for r in sorted(counts, key=lambda r: (r[host_col], r["__pid"])):
-        acc = by_host.setdefault(r[host_col], [0, {}])
-        acc[1][r["__pid"]] = acc[0]
-        acc[0] += r["__cnt"]
-    offsets = [
-        (h, pid, off) for h, (_, pids) in by_host.items() for pid, off in pids.items()
-    ]
-    from pyspark.sql import types as T
-
-    off_schema = T.StructType(
-        [
-            T.StructField(host_col, df.schema[host_col].dataType, False),
-            T.StructField("__pid", T.IntegerType(), False),
-            T.StructField("__off", T.LongType(), False),
-        ]
+    off_df = counts.select(
+        host_col,
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
     )
-    off_df = spark.createDataFrame(offsets, off_schema)  # explicit: may be empty
     w = Window.partitionBy("__pid", host_col).orderBy(F.col(order_col).asc())
     out = (
         ranged.withColumn("__local", F.row_number().over(w))

@@ -649,6 +649,25 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+def q_cosine_pairs_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup pair mining: LSH bucket candidates
+    → exact JVM rerank. Threshold 0.4 / n_planes=2 so the testdata (max sim
+    ≈0.51) yields pairs AND per-pair recall loss stays ≤1e-7 — the
+    exact-pairs SQL is a valid oracle. The cartesian `cosine_pairs` stays
+    the small-N oracle shape."""
+    return similarity.cosine_pairs_lsh(
+        spark, _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=2
+    )
+
+
+SQL_COSINE_PAIRS_LSH = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     """Approximate top-10 via multi-table hyperplane LSH + exact rerank.
     Approximate by design → rows-only check; recall vs brute force asserted
@@ -855,6 +874,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
+    "cosine_pairs_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "media_type_dispatch": (q_media_type_dispatch, SQL_MEDIA_TYPE_DISPATCH),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
