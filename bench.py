@@ -130,19 +130,19 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     stages: dict[str, float] = {}
     t0 = time.time()
     # stage 1: rebuild partitioned bloom from the seen table (resume path)
-    # and persist it as the per-bucket side-file store the probe reads
-    import tempfile
-
-    filters = bloom_mod.build(seen)
-    store = tempfile.mkdtemp(prefix="bloomstore-")
-    bloom_mod.save_store(filters, store)
+    filters = bloom_mod.build(seen).persist()
+    filters.count()
     stages["bloom_build"] = round(time.time() - t0, 3)
-    # stage 2: canonicalize → hash → bloom probe in ONE pass. The dim-join
-    # canonicalizer leaves the probe as the only per-row Python stage; the
-    # probe reads per-bucket filter files lazily (no shuffle, no broadcast,
-    # workers cache the buckets their partitions touch).
+    # stage 2: canonicalize → hash → bloom probe in ONE pass, all JVM: the
+    # dim-join canonicalizer is O(distinct hosts) and probe_jvm evaluates
+    # the k bit-tests as Catalyst expressions — zero Python workers in the
+    # hot stage. Bitmaps here total ~15 MB so broadcast is right; at the
+    # 10^10-key point switch broadcast=False (co-partitioned one-row-per-
+    # bucket join).
     t1 = time.time()
-    probed = bloom_mod.probe_with_store(_keyed(frontier), store).persist()
+    probed = bloom_mod.probe_jvm(
+        _keyed(frontier), filters, strategy="broadcast"
+    ).persist()
     probed.count()
     stages["canonicalize_hash_probe"] = round(time.time() - t1, 3)
     # stage 3: confirm anti-join + in-frontier keep-first (hash agg, map-side
@@ -180,6 +180,7 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     n_deferred = int(row["deferred"] or 0)
     n_scheduled = uniq_total - n_deferred  # cold hosts schedule wholly
     seen.unpersist()
+    filters.unpersist()
     probed.unpersist()
     uniq.unpersist()
     return {

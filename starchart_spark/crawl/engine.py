@@ -164,7 +164,9 @@ class CrawlEngine:
         seen = self.url_seen.read(self.spark)
         key_cols = ["key_kind", "hostname", "key1", "key2"]
         if bloom_filters is not None:
-            probed = bloom_mod.probe(self.spark, cands, bloom_filters)
+            # pure-JVM probe; AQE picks the join by stats (one filter row
+            # per bucket shuffles at 10^10 keys, broadcasts when tiny)
+            probed = bloom_mod.probe_jvm(cands, bloom_filters)
             return dedup.seen_filter(probed, seen, key_cols, "maybe_seen").drop("maybe_seen")
         return dedup.seen_filter(cands, seen, key_cols)
 

@@ -6,12 +6,26 @@ parquet table next to the seen-set table, and maintained *incrementally*:
 each batch ORs only the newly committed keys into the touched buckets'
 bitmaps (O(new keys), not O(|seen|)).
 
-Probing is **co-partitioned, never broadcast**: candidates are cogrouped
-with the filter table on ``host_bucket``, so each task receives exactly one
-bucket's candidates plus that bucket's single filter row. Driver memory and
-per-task transfer stay O(one bucket) — at the 10^10-key design point
-(B=4096 buckets, ~10 bits/key ⇒ ~3 MB/bucket) no ~12 GB driver collect or
-full-cluster broadcast ever happens.
+Three probe paths, all bit-identical (parity-tested):
+
+- ``probe`` — cogroup on ``host_bucket``: each task gets one bucket's
+  candidates plus that bucket's single filter row. Right shape for engine
+  micro-batches (thousands of rows).
+- ``probe_with_store`` — per-bucket side files (the Iceberg side-file
+  pattern) read lazily by long-lived workers; no shuffle, no broadcast.
+- ``probe_jvm`` — THE frontier-scale hot path: bitmaps live as
+  ``array<long>`` words in the filter table and the k bit-tests are pure
+  Catalyst expressions (join + element_at + shifts). Zero Python in the
+  probe stage, so the scan→canonicalize→hash→probe pipeline stays inside
+  whole-stage codegen and scales with executors instead of Python workers.
+
+JVM-exactness is guaranteed by construction: bitmap capacity is a POWER OF
+TWO, so ``mod m`` is a mask and every Kirsch-Mitzenmacher double-hash
+position is computable in overflow-free signed-long arithmetic (low-bit
+algebra: the low L bits of a sum/product depend only on the low L bits of
+the operands). Capacity is capped at 2^31 bits (256 MB / bucket ≈ 170M keys
+at 10 bits/key, 2x headroom) — past that, raise the bucket count rather
+than the bitmap size.
 
 Contract (SURVEY.md §2.2): the filter layer only changes *cost*, never
 *answers* — a probe returns "maybe seen" (must be confirmed by the exact
@@ -38,9 +52,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-_MIX = np.uint64(0x9E3779B97F4A7C15)
-
 DEFAULT_BITS_PER_KEY = 10
+MAX_M_BITS = 1 << 31  # per-bucket cap; beyond this, add buckets
 
 FILTER_SCHEMA = T.StructType(
     [
@@ -48,32 +61,62 @@ FILTER_SCHEMA = T.StructType(
         T.StructField("m_bits", T.LongType(), False),
         T.StructField("k_hashes", T.IntegerType(), False),
         T.StructField("n_keys", T.LongType(), False),
-        T.StructField("bitmap", T.BinaryType(), False),
+        # little-endian 64-bit words; length == m_bits/64 (m_bits >= 1024)
+        T.StructField("words", T.ArrayType(T.LongType(), False), False),
     ]
 )
 
 
-def _positions(hashes: np.ndarray, k: int, m: int) -> np.ndarray:
-    """(n, k) bit positions via double hashing: h1 + i*h2 mod m."""
-    h = hashes.astype(np.uint64)
-    h1 = h
-    h2 = (h ^ (h >> np.uint64(33))) * _MIX | np.uint64(1)  # odd => full cycle
-    i = np.arange(k, dtype=np.uint64)[None, :]
-    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m)).astype(np.int64)
+def _word_and_bits(mixed: np.ndarray, k: int, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Register-blocked bloom addressing: all k bits of a key live in ONE
+    64-bit word, so a probe is a single load + mask compare.
+
+    word index = low bits of the mixed hash (m/64 words, power of two);
+    bit j    = 6-bit slices from bit 32 up (disjoint from the word index,
+               which never needs more than 25 bits at the 2^31-bit cap).
+
+    ``mixed`` must already be avalanche-mixed (every caller applies
+    ``F.xxhash64`` JVM-side before the boundary). Everything is shift/mask —
+    bit-identical in numpy uint64 and in ``probe_jvm``'s ANSI-safe
+    signed-long Catalyst expressions, which is the point: the JVM probe is
+    a tiny whole-stage-codegen expression, no Python, no higher-order
+    functions.
+    """
+    h = mixed.astype(np.uint64)
+    widx = (h & np.uint64(m // 64 - 1)).astype(np.int64)
+    bits = np.zeros(len(h), dtype=np.uint64)
+    for i in range(k):
+        s = (h >> np.uint64(32 + 6 * i)) & np.uint64(63)
+        bits |= np.uint64(1) << s
+    return widx, bits
 
 
 def _capacity_bits(n_keys: int, bits_per_key: int) -> int:
-    """Bitmap size with 2x headroom so incremental inserts amortize."""
-    return max(1024, int(n_keys) * bits_per_key * 2)
+    """Bitmap size with ≈2x headroom, rounded up to a power of two (so the
+    position arithmetic is maskable and JVM-replicable), capped at 2^31."""
+    want = max(1024, int(n_keys) * bits_per_key * 2)
+    return min(MAX_M_BITS, 1 << (want - 1).bit_length())
 
 
 def _k_hashes(bits_per_key: int) -> int:
-    return max(1, int(round(bits_per_key * 0.6931)))  # ln 2
+    # blocked layout: k bits share one word, so small k wins — with 2x
+    # capacity headroom (~5% of each word set at bits_per_key=10), k=4
+    # already gives FPR ~1e-3; larger k just burns word bits
+    return max(1, min(4, bits_per_key // 2))
 
 
-def _set_bits(bitmap: np.ndarray, hashes: np.ndarray, k: int, m: int) -> None:
-    pos = _positions(hashes, k, m).ravel()
-    np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+def _set_bits(words: np.ndarray, hashes: np.ndarray, k: int, m: int) -> None:
+    widx, bits = _word_and_bits(hashes, k, m)
+    np.bitwise_or.at(words, widx, bits)
+
+
+def _test_bits(words: np.ndarray, hashes: np.ndarray, k: int, m: int) -> np.ndarray:
+    widx, bits = _word_and_bits(hashes, k, m)
+    return (words[widx] & bits) == bits
+
+
+def _words_u64(words) -> np.ndarray:
+    return np.asarray(words, dtype="<i8").view(np.uint64)
 
 
 def build(
@@ -90,24 +133,24 @@ def build(
     """
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        hashes = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+        hashes = pdf["__mix"].to_numpy(dtype=np.int64).view(np.uint64)
         n = len(hashes)
         m = _capacity_bits(n, bits_per_key)
         k = _k_hashes(bits_per_key)
-        bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
-        _set_bits(bitmap, hashes, k, m)
+        words = np.zeros(m // 64, dtype=np.uint64)
+        _set_bits(words, hashes, k, m)
         return pd.DataFrame(
             {
                 "host_bucket": [int(pdf[bucket_col].iloc[0])],
                 "m_bits": [m],
                 "k_hashes": [k],
                 "n_keys": [n],
-                "bitmap": [bitmap.tobytes()],
+                "words": [words.view(np.int64)],
             }
         )
 
     return (
-        seen.select(bucket_col, hash_col)
+        seen.select(bucket_col, F.xxhash64(hash_col).alias("__mix"))
         .groupBy(bucket_col)
         .applyInPandas(_build, FILTER_SCHEMA)
     )
@@ -127,7 +170,7 @@ def update(
     Inserting past capacity degrades FPR but never creates false negatives;
     ``overfull`` flags such buckets for a per-bucket rebuild.
     """
-    keys = new_keys.select(bucket_col, hash_col)
+    keys = new_keys.select(bucket_col, F.xxhash64(hash_col).alias("__mix"))
     touched_buckets = keys.select(bucket_col).distinct()
     untouched = filters.join(touched_buckets, bucket_col, "left_anti")
     touched = filters.join(touched_buckets, bucket_col, "left_semi")
@@ -135,27 +178,27 @@ def update(
     def _upd(flt_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(keys_pdf):  # filter row semi-joined on touched ⇒ unreachable
             return flt_pdf
-        hashes = keys_pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+        hashes = keys_pdf["__mix"].to_numpy(dtype=np.int64).view(np.uint64)
         if len(flt_pdf):
             m = int(flt_pdf["m_bits"].iloc[0])
             k = int(flt_pdf["k_hashes"].iloc[0])
             n0 = int(flt_pdf["n_keys"].iloc[0])
-            bitmap = np.frombuffer(flt_pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+            words = _words_u64(flt_pdf["words"].iloc[0]).copy()
             bucket = int(flt_pdf[bucket_col].iloc[0])
         else:
             m = _capacity_bits(len(hashes), bits_per_key)
             k = _k_hashes(bits_per_key)
             n0 = 0
-            bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
+            words = np.zeros(m // 64, dtype=np.uint64)
             bucket = int(keys_pdf[bucket_col].iloc[0])
-        _set_bits(bitmap, hashes, k, m)
+        _set_bits(words, hashes, k, m)
         return pd.DataFrame(
             {
                 "host_bucket": [bucket],
                 "m_bits": [m],
                 "k_hashes": [k],
                 "n_keys": [n0 + len(hashes)],
-                "bitmap": [bitmap.tobytes()],
+                "words": [words.view(np.int64)],
             }
         )
 
@@ -205,27 +248,91 @@ def probe(
             return cand_pdf.assign(**{out_col: False})[cand_cols + [out_col]]
         m = int(flt_pdf["m_bits"].iloc[0])
         k = int(flt_pdf["k_hashes"].iloc[0])
-        bitmap = np.frombuffer(flt_pdf["bitmap"].iloc[0], dtype=np.uint8)
-        h = cand_pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
-        pos = _positions(h, k, m)
-        bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-        return cand_pdf.assign(**{out_col: bits.all(axis=1)})[cand_cols + [out_col]]
+        words = _words_u64(flt_pdf["words"].iloc[0])
+        h = cand_pdf["__mix"].to_numpy(dtype=np.int64).view(np.uint64)
+        return cand_pdf.assign(**{out_col: _test_bits(words, h, k, m)})[
+            cand_cols + [out_col]
+        ]
 
     return (
-        candidates.groupBy(bucket_col)
+        candidates.withColumn("__mix", F.xxhash64(hash_col))
+        .groupBy(bucket_col)
         .cogroup(filters.groupBy(bucket_col))
         .applyInPandas(_probe, out_schema)
     )
 
 
+def probe_jvm(
+    candidates: DataFrame,
+    filters: DataFrame,
+    hash_col: str = "key_hash",
+    bucket_col: str = "host_bucket",
+    out_col: str = "maybe_seen",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Pure-JVM probe: join candidates to the filter table on the bucket and
+    evaluate the k bit-tests as Catalyst expressions — no Python anywhere.
+
+    Exactly replicates ``_word_and_bits``: keys are avalanche-mixed with
+    ``xxhash64`` (same JVM function every other path applies before its
+    pandas boundary), and the blocked layout makes the whole probe one
+    ``element_at`` plus a shift-OR mask compare:
+
+        g     = xxhash64(key)                      # avalanche mix
+        widx  = g & (m/64 - 1)                     # word index (low bits)
+        s_i   = (g >>> (32 + 6i)) & 63             # k in-word bit slots
+        seen  = (words[widx] & OR_i(1<<s_i)) == OR_i(1<<s_i)
+
+    Every op is shift/mask — ANSI-safe, interpreted nowhere (no
+    higher-order functions: forall/transform lambdas are evaluated
+    interpreted per element and measured 10x+ slower), and the expression
+    is small enough that whole-stage codegen compiles the scan → join →
+    probe stage into one loop with a single memory access per key.
+
+    ``strategy``: "auto" lets Catalyst/AQE pick by stats (right default —
+    small filter tables broadcast, big ones shuffle); "broadcast" forces the
+    ship-everywhere plan; "shuffle" hints SHUFFLE_HASH so at the 10^10-key
+    design point the join moves ONE filter row per bucket to the
+    candidates' bucket partition (the same co-partitioned shape as
+    ``probe``) and the full filter set is never collected or broadcast.
+
+    k varies per bucket in principle, so each unrolled mask term is guarded
+    by ``i < __k``; k_max comes from one tiny metadata-only collect.
+    """
+    flt = filters.select(
+        F.col(bucket_col).alias("__fbucket"),
+        F.col("m_bits").alias("__m"),
+        F.col("k_hashes").alias("__k"),
+        F.col("words").alias("__w"),
+    )
+    if strategy == "broadcast":
+        flt = F.broadcast(flt)
+    elif strategy == "shuffle":
+        flt = flt.hint("shuffle_hash")
+    joined = candidates.withColumn("__mix", F.xxhash64(hash_col)).join(
+        flt, F.col(bucket_col) == flt["__fbucket"], "left"
+    )
+    k_row = filters.agg(F.max("k_hashes").alias("k")).collect()
+    k_max = int(k_row[0]["k"] or 0) if k_row else 0
+    word = "element_at(__w, cast((__mix & ((__m div 64) - 1)) as int) + 1)"
+    terms = [
+        f"if({i} < __k, shiftleft(cast(1 as bigint),"
+        f" cast((shiftrightunsigned(__mix, {32 + 6 * i}) & 63) as int)), 0)"
+        for i in range(max(k_max, 1))
+    ]
+    mask64 = "(" + " | ".join(terms) + ")"
+    expr = f"(({word} & {mask64}) = {mask64})"
+    return joined.withColumn(
+        out_col,
+        F.when(F.col("__m").isNull(), F.lit(False)).otherwise(F.expr(expr)),
+    ).drop("__fbucket", "__m", "__k", "__w", "__mix")
+
+
 # ---------------------------------------------------------------------------
-# store-backed probe: the frontier-scale path
+# store-backed probe: side-file variant (resume / cross-job reuse)
 # ---------------------------------------------------------------------------
 #
-# The cogroup probe above moves the candidate rows through one Arrow
-# round-trip per bucket — fine for engine micro-batches (thousands of rows),
-# wasteful for a 10^7+-row frontier sweep. The store-backed variant persists
-# one small file per bucket next to the seen-set table (the Iceberg
+# Persists one small file per bucket next to the seen-set table (the Iceberg
 # side-file pattern) and probes with a scalar Arrow UDF: no shuffle, no
 # broadcast, no driver collect — each long-lived worker lazily loads only
 # the buckets that appear in its partitions and caches them across batches.
@@ -249,7 +356,7 @@ def save_store(filters: DataFrame, store_dir: str) -> None:
                         [r["m_bits"], r["k_hashes"], r["n_keys"]], dtype=np.int64
                     ).tobytes()
                 )
-                fh.write(bytes(r["bitmap"]))
+                fh.write(_words_u64(r["words"]).tobytes())
 
     filters.foreachPartition(_write)
 
@@ -266,9 +373,9 @@ def probe_with_store(
     the Arrow boundary, candidates keep their partitioning."""
 
     @pandas_udf(T.BooleanType())
-    def _probe(bucket: pd.Series, hashes: pd.Series) -> pd.Series:
+    def _probe(bucket: pd.Series, mixed: pd.Series) -> pd.Series:
         b = bucket.to_numpy(dtype=np.int64)
-        h = hashes.to_numpy(dtype=np.int64).view(np.uint64)
+        h = mixed.to_numpy(dtype=np.int64).view(np.uint64)
         out = np.zeros(len(b), dtype=bool)
         for bk in np.unique(b):
             key = (store_dir, int(bk))
@@ -276,19 +383,18 @@ def probe_with_store(
             if entry is None:
                 path = os.path.join(store_dir, f"{int(bk)}.bloom")
                 if os.path.exists(path):
-                    raw = np.fromfile(path, dtype=np.uint8)
-                    hdr = raw[:24].view(np.int64)
-                    entry = (int(hdr[0]), int(hdr[1]), raw[24:])
+                    raw = np.fromfile(path, dtype=np.int64)
+                    entry = (int(raw[0]), int(raw[1]), raw[3:].view(np.uint64))
                 else:
                     entry = (0, 0, None)
                 _STORE_CACHE[key] = entry
-            m, k, bitmap = entry
-            if bitmap is None:
+            m, k, words = entry
+            if words is None:
                 continue
             sel = b == bk
-            pos = _positions(h[sel], k, m)
-            bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-            out[sel] = bits.all(axis=1)
+            out[sel] = _test_bits(words, h[sel], k, m)
         return pd.Series(out)
 
-    return candidates.withColumn(out_col, _probe(F.col(bucket_col), F.col(hash_col)))
+    return candidates.withColumn(
+        out_col, _probe(F.col(bucket_col), F.xxhash64(hash_col))
+    )

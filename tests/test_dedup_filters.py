@@ -98,8 +98,8 @@ def test_bloom_update_untouched_buckets_passthrough(spark, keyed):
         [(7_777_777, "host-0", 0)], ["key_hash", "hostname", "host_bucket"]
     )
     updated = bloom.update(filters, one_bucket)
-    before = {r["host_bucket"]: bytes(r["bitmap"]) for r in filters.collect()}
-    after = {r["host_bucket"]: bytes(r["bitmap"]) for r in updated.collect()}
+    before = {r["host_bucket"]: tuple(r["words"]) for r in filters.collect()}
+    after = {r["host_bucket"]: tuple(r["words"]) for r in updated.collect()}
     assert set(before) == set(after)
     changed = [b for b in before if before[b] != after[b]]
     assert changed == [0]  # only the touched bucket's bitmap moved
@@ -153,6 +153,47 @@ def test_probe_with_store_matches_cogroup(spark, keyed, tmp_path):
         [(1, "h", 999)], ["key_hash", "hostname", "host_bucket"]
     )
     assert bloom.probe_with_store(other, store).collect()[0]["maybe_seen"] is False
+
+
+def test_probe_jvm_matches_cogroup(spark, keyed):
+    """The pure-JVM probe (frontier hot path) gives bit-identical answers to
+    the cogroup probe on inserted keys, fresh keys (FPR pattern included),
+    and missing buckets — for both join strategies."""
+    filters = bloom.build(keyed)
+    fresh = spark.createDataFrame(
+        [(i + 3_000_000, f"host-{i % 7}", i % 16) for i in range(2000)]
+        + [(1, "h", 999)],  # missing bucket
+        ["key_hash", "hostname", "host_bucket"],
+    )
+    for cands in (keyed, fresh):
+        a = sorted(
+            (r["key_hash"], r["maybe_seen"])
+            for r in bloom.probe(spark, cands, filters).collect()
+        )
+        for strat in ("auto", "broadcast", "shuffle"):
+            b = sorted(
+                (r["key_hash"], r["maybe_seen"])
+                for r in bloom.probe_jvm(cands, filters, strategy=strat).collect()
+            )
+            assert a == b, f"mismatch strategy={strat}"
+
+
+def test_probe_jvm_plan_has_no_python(spark, keyed):
+    """The JVM probe stage must stay entirely Catalyst-side: no Arrow/Python
+    eval nodes; and with strategy="shuffle" no BroadcastExchange either (the
+    10^10-key design point ships one filter row per bucket via shuffle)."""
+    filters = bloom.build(keyed).persist()
+    filters.count()
+    plan = (
+        bloom.probe_jvm(keyed, filters, strategy="shuffle")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "FlatMapCoGroupsInPandas"):
+        assert node not in plan
+    assert "BroadcastExchange" not in plan
+    filters.unpersist()
 
 
 def test_cuckoo_incremental_update_add_delete(spark, keyed):

@@ -9,7 +9,12 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from starchart_spark.functions.urls import canonicalize_series, hostname_series
-from starchart_spark.operators.bloom import _capacity_bits, _k_hashes, _positions
+from starchart_spark.operators.bloom import (
+    _capacity_bits,
+    _k_hashes,
+    _set_bits,
+    _test_bits,
+)
 from starchart_spark.operators.cuckoo import CuckooTable
 
 hosts = st.from_regex(r"[a-z]([a-z0-9\-]{0,20}[a-z0-9])?(\.[a-z]{2,6}){1,3}", fullmatch=True)
@@ -47,12 +52,9 @@ def test_canonicalize_properties(scheme, host, port, path, query, frag):
 def test_bloom_positions_no_false_negatives(keys):
     arr = np.array(keys, dtype=np.int64).view(np.uint64)
     m, k = _capacity_bits(len(arr), 10), _k_hashes(10)
-    bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
-    pos = _positions(arr, k, m).ravel()
-    np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-    check = _positions(arr, k, m)
-    bits = (bitmap[check >> 3] >> (check & 7).astype(np.uint8)) & 1
-    assert bits.all()
+    words = np.zeros(m // 64, dtype=np.uint64)
+    _set_bits(words, arr, k, m)
+    assert _test_bits(words, arr, k, m).all()
 
 
 @given(st.lists(st.integers(min_value=1, max_value=2**62), min_size=1, max_size=300, unique=True))
