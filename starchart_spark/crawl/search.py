@@ -45,6 +45,20 @@ def search_repositories(repos: DataFrame, query: str) -> DataFrame:
     return repos.filter(cond)
 
 
+def search_users(users: DataFrame, query: str, username_col: str = "username") -> DataFrame:
+    """User search over the username FTS column — the reference maintains
+    ``fts_users(username)`` insert-or-ignore beside the user table
+    (db/db-sqlx-sqlite/src/lib.rs:201-210, migrations/20230223063159:14-16);
+    the match semantics are the same wildcarded contains as repositories."""
+    return users.filter(F.col(username_col).like(_like_pattern(wildcard(query))))
+
+
+def search_topics(topics: DataFrame, query: str, name_col: str = "name") -> DataFrame:
+    """Topic search over ``fts_project_topics(name)``
+    (db/db-sqlx-sqlite/src/lib.rs:243-252, migrations/20230223063159:9-12)."""
+    return topics.filter(F.col(name_col).like(_like_pattern(wildcard(query))))
+
+
 def federated_targets(
     mini_indexes: DataFrame, query: str, instance_col: str = "starchart_instance"
 ) -> DataFrame:

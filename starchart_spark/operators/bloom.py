@@ -19,21 +19,25 @@ Three probe paths, all bit-identical (parity-tested):
   probe stage, so the scan→canonicalize→hash→probe pipeline stays inside
   whole-stage codegen and scales with executors instead of Python workers.
 
-JVM-exactness is guaranteed by construction: bitmap capacity is a POWER OF
-TWO, so ``mod m`` is a mask and every Kirsch-Mitzenmacher double-hash
-position is computable in overflow-free signed-long arithmetic (low-bit
-algebra: the low L bits of a sum/product depend only on the low L bits of
-the operands). Capacity is capped at 2^31 bits (256 MB / bucket ≈ 170M keys
-at 10 bits/key, 2x headroom) — past that, raise the bucket count rather
+Layout: REGISTER-BLOCKED (Impala-style) — all k bits of a key live in one
+64-bit word, so a probe is a single memory access + mask compare (one cache
+line at 10^10 keys, vs k scattered line misses for a classic bloom).
+JVM-exactness is by construction: keys are avalanche-mixed with
+``xxhash64`` at every path boundary (the same JVM function everywhere),
+capacities are powers of two so addressing is pure shift/mask, and every
+intermediate fits a signed long — the numpy kernels and the Catalyst
+expressions are bit-identical, ANSI-safe, with no wraparound arithmetic
+anywhere. Capacity caps at 2^31 bits (256 MB / bucket ≈ 100M keys at
+10 bits/key with 2x headroom) — past that, raise the bucket count rather
 than the bitmap size.
 
 Contract (SURVEY.md §2.2): the filter layer only changes *cost*, never
 *answers* — a probe returns "maybe seen" (must be confirmed by the exact
 anti-join) or "definitely new" (skips the join). False-positive rate is a
-tuning knob; false negatives are impossible for keys committed at or before
-the filter snapshot (the engine rebuilds the filter table on resume if it
-lags the seen-set). Hash positions use Kirsch-Mitzenmacher double hashing
-off the 64-bit xxhash64 key already computed JVM-side (functions/urls.py).
+tuning knob (k=4 in-word bits at 20 bits/key capacity ⇒ ~1e-3); false
+negatives are impossible for keys committed at or before the filter
+snapshot (the engine rebuilds the filter table on resume if it lags the
+seen-set).
 
 Sizing: bitmaps are provisioned with 2× headroom (``_capacity_bits``); a
 bucket whose key count outgrows its capacity is flagged by ``overfull`` and

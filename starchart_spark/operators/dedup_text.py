@@ -78,8 +78,10 @@ def ngram_jaccard_pairs(
 
     Output: (a_id, b_id, jaccard) with a_id < b_id, jaccard rounded to 6dp
     for cross-engine comparability. Exact — this is the oracle the
-    approximate methods are verified against. At scale, hot shingles (stop
-    phrases) should be df-capped; here every shingle participates.
+    approximate methods are verified against. Every shingle participates,
+    so hot shingles (stop phrases) blow up the bucket join at scale — use
+    ``ngram_jaccard_pairs_prefix`` (result-identical, prefix-filtered) as
+    the production path.
     """
     sh = shingles(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -102,6 +104,102 @@ def ngram_jaccard_pairs(
         .select("a_id", "b_id", "jaccard")
     )
     return out
+
+
+def _verify_exact_jaccard(
+    cands: DataFrame,
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (a_id, b_id) pairs: shingle
+    only docs that appear in some candidate (semi-join pushes the filter to
+    the scan), intersect along the candidate edges, keep pairs ≥ threshold.
+    Output (a_id, b_id, jaccard) — reported pairs are always exact."""
+    cand_ids = (
+        cands.select(F.col("a_id").alias(id_col))
+        .union(cands.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    sh = shingles(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        cands.join(a, "a_id")
+        .join(b, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via PREFIX FILTERING (SSJoin/PPJoin
+    family) — the scale path for ``ngram_jaccard_pairs``, result-identical
+    at the same threshold.
+
+    A pair with J(A,B) ≥ θ has |A∩B| ≥ ⌈θ·|A|⌉ and ≥ ⌈θ·|B|⌉, so with
+    shingles in a global canonical order each side must expose an
+    intersection element inside its first ``n_d − ⌈θ·n_d⌉ + 1`` shingles
+    (prefix-filter lemma) — only those are indexed. Ordering by ascending
+    document frequency puts stop-phrase shingles LAST, so the hot-shingle
+    bucket explosion of the naive inverted-index join (its docstring's own
+    caveat) never materializes: candidate generation cost tracks rare
+    shingles. Candidates are then exact-verified, so reported pairs are
+    exact regardless.
+
+    The extra cost is one df-count aggregate and a per-doc rank window —
+    both shuffle (shingle-hash, doc_id) narrow longs.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("shingle"))
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("__r") <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).select(F.col(id_col), "shingle", F.col("__n"))
+    a = prefix.select(F.col(id_col).alias("a_id"), "shingle", F.col("__n").alias("na"))
+    b = prefix.select(F.col(id_col).alias("b_id"), "shingle", F.col("__n").alias("nb"))
+    cands = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            # size filter: θ·max(na,nb) ≤ min(na,nb) is necessary for J ≥ θ
+            & (F.ceil(F.lit(threshold) * F.greatest("na", "nb")) <= F.least("na", "nb"))
+        )
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+        .persist()
+    )
+    return _verify_exact_jaccard(cands, df, threshold, id_col, text_col, n)
 
 
 def _minhash_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -196,31 +294,7 @@ def minhash_lsh_pairs(
     # exact verify on the candidate set only: shingle only docs that appear
     # in some candidate pair (semi-join pushes the filter into the scan)
     cands = cands.persist()
-    cand_ids = (
-        cands.select(F.col("a_id").alias(id_col))
-        .union(cands.select(F.col("b_id").alias(id_col)))
-        .distinct()
-    )
-    sh = shingles(df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("a_id"), "shingle")
-    b = sh.select(F.col(id_col).alias("b_id"), "shingle")
-    inter = (
-        cands.join(a, "a_id")
-        .join(b, ["b_id", "shingle"])
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-        .join(sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
-    )
+    return _verify_exact_jaccard(cands, df, threshold, id_col, text_col, n)
 
 
 def simhash64(

@@ -356,6 +356,40 @@ SELECT doc_id, source FROM documents WHERE text LIKE '%window merge%'
 """
 
 
+def q_search_users(spark, sf_dir):
+    """FTS-users surface (db/db-sqlx-sqlite/src/lib.rs:201-210): wildcarded
+    contains-match on the username column; customer names stand in."""
+    from starchart_spark.crawl.search import search_users
+
+    users = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("username")
+    )
+    return search_users(users, "00001")
+
+
+SQL_SEARCH_USERS = """
+SELECT c_custkey AS user_id, c_name AS username
+FROM customer WHERE c_name LIKE '%00001%'
+"""
+
+
+def q_search_topics(spark, sf_dir):
+    """FTS-project-topics surface (db/db-sqlx-sqlite/src/lib.rs:243-252):
+    wildcarded contains-match on the topic name; part types stand in."""
+    from starchart_spark.crawl.search import search_topics
+
+    topics = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("topic_id"), F.col("p_type").alias("name")
+    )
+    return search_topics(topics, "ECO")
+
+
+SQL_SEARCH_TOPICS = """
+SELECT p_partkey AS topic_id, p_type AS name
+FROM part WHERE p_type LIKE '%ECO%'
+"""
+
+
 def q_empty_is_none(spark, sf_dir):
     """N3: empty_is_none — trim, ''→NULL (gitea/src/lib.rs:75-82), applied to
     a synthesized sometimes-empty column."""
@@ -490,6 +524,45 @@ def q_ngram_jaccard_dupes(spark, sf_dir):
 
 
 SQL_NGRAM_JACCARD_DUPES = _SQL_JACCARD_PAIRS
+
+
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered exact Jaccard pairs (SSJoin) — the production path:
+    provably result-identical to the naive inverted-index join at the same
+    threshold (so it shares its oracle) while hot shingles never enter the
+    candidate index."""
+    return dedup_text.ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"), 0.8)
+
+
+SQL_NGRAM_JACCARD_PREFIX = _SQL_JACCARD_PAIRS
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (min-label propagation)
+    over the exact Jaccard≥0.8 pair graph — the keep-one-per-cluster step
+    of a training-data dedup pass. cluster_id = min doc_id of the component
+    (pure function of the edge set)."""
+    from starchart_spark.operators.cluster import connected_components
+
+    pairs = dedup_text.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.8)
+    return connected_components(pairs)
+
+
+SQL_DUP_CLUSTERS = (
+    "WITH RECURSIVE pairs AS (" + _SQL_JACCARD_PAIRS + """),
+und AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM und
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+"""
+)
 
 
 def q_minhash_lsh_dupes(spark, sf_dir):
@@ -857,6 +930,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "deferred_by_budget": (q_deferred_by_budget, SQL_DEFERRED_BY_BUDGET),
     "pagination_slice": (q_pagination_slice, SQL_PAGINATION_SLICE),
     "wildcard_search": (q_wildcard_search, SQL_WILDCARD_SEARCH),
+    "search_users": (q_search_users, SQL_SEARCH_USERS),
+    "search_topics": (q_search_topics, SQL_SEARCH_TOPICS),
     "empty_is_none": (q_empty_is_none, SQL_EMPTY_IS_NONE),
     "props_parse": (q_props_parse, SQL_PROPS_PARSE),
     "epoch_days": (q_epoch_days, SQL_EPOCH_DAYS),
@@ -866,6 +941,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     # training-data pipeline
     "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
     "ngram_jaccard_dupes": (q_ngram_jaccard_dupes, SQL_NGRAM_JACCARD_DUPES),
+    "ngram_jaccard_prefix": (q_ngram_jaccard_prefix, SQL_NGRAM_JACCARD_PREFIX),
+    "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
     "minhash_lsh_dupes": (q_minhash_lsh_dupes, SQL_MINHASH_LSH_DUPES),
     "simhash_dupes": (q_simhash_dupes, None),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -79,6 +79,31 @@ def test_ngram_jaccard_and_lsh_agree(spark, docs):
     assert lsh == exact
 
 
+def test_ngram_jaccard_prefix_equals_naive(spark, docs):
+    """Prefix filtering is an exact optimization: identical pair set to the
+    naive inverted-index join at the same threshold — including on corpora
+    with a planted hot shingle shared by every doc (the case that explodes
+    the naive join's buckets but sorts LAST in df order, outside prefixes)."""
+    for thresh in (0.8, 0.5):
+        exact = {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in dedup_text.ngram_jaccard_pairs(docs, thresh).collect()
+        }
+        pre = {
+            (r["a_id"], r["b_id"], r["jaccard"])
+            for r in dedup_text.ngram_jaccard_pairs_prefix(docs, thresh).collect()
+        }
+        assert exact and pre == exact
+    hot = docs.withColumn("text", F.concat(F.col("text"), F.lit(" common tail phrase")))
+    a = {
+        tuple(r) for r in dedup_text.ngram_jaccard_pairs(hot, 0.8).collect()
+    }
+    b = {
+        tuple(r) for r in dedup_text.ngram_jaccard_pairs_prefix(hot, 0.8).collect()
+    }
+    assert a == b
+
+
 def test_simhash_near_dupes(spark, docs):
     pairs = dedup_text.simhash_near_dupes(spark, docs, max_hamming=3)
     got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
