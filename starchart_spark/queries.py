@@ -537,6 +537,64 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
 SQL_NGRAM_JACCARD_PREFIX = _SQL_JACCARD_PAIRS
 
 
+_SEL_SQL = "((({col} % 2147483647) * 1327217885 + 12345) % 2147483647)"
+
+
+def q_sample_fraction(spark, sf_dir):
+    """Deterministic 10% corpus sample: hash-predicate, partition-invariant
+    (df.sample() is partition-seeded and irreproducible), pushes to scan."""
+    from starchart_spark.operators import sampling
+
+    return sampling.sample_fraction(
+        _t(spark, sf_dir, "documents"), 0.1
+    ).select("doc_id", "source")
+
+
+SQL_SAMPLE_FRACTION = f"""
+SELECT doc_id, source FROM documents
+WHERE {_SEL_SQL.format(col="doc_id")} < CAST(0.1 * 2147483647 AS BIGINT)
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum fractions (corpus rebalancing by event
+    type): tiny broadcast dim of thresholds + the same scan predicate."""
+    from starchart_spark.operators import sampling
+
+    ev = _t(spark, sf_dir, "events")
+    fractions = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("fraction", (F.length("event_type") % 3 + 1) * 0.1)
+    )
+    return sampling.sample_stratified(
+        ev, fractions, "event_type", id_col="event_id"
+    ).select("event_id", "event_type")
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT event_id, event_type FROM events
+WHERE {_SEL_SQL.format(col="event_id")}
+      < CAST(((length(event_type) % 3 + 1) * 0.1) * 2147483647 AS BIGINT)
+"""
+
+
+def q_sample_topk(spark, sf_dir):
+    """Exactly-k uniform sample without replacement, reproducible: k
+    smallest selector values (distributed top-k, no global sort)."""
+    from starchart_spark.operators import sampling
+
+    return sampling.sample_exact_k(_t(spark, sf_dir, "documents"), 100).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_SAMPLE_TOPK = f"""
+SELECT doc_id, lang FROM documents
+ORDER BY {_SEL_SQL.format(col="doc_id")}, doc_id LIMIT 100
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (min-label propagation)
     over the exact Jaccard≥0.8 pair graph — the keep-one-per-cluster step
@@ -943,6 +1001,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard_dupes": (q_ngram_jaccard_dupes, SQL_NGRAM_JACCARD_DUPES),
     "ngram_jaccard_prefix": (q_ngram_jaccard_prefix, SQL_NGRAM_JACCARD_PREFIX),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "sample_fraction": (q_sample_fraction, SQL_SAMPLE_FRACTION),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    "sample_topk": (q_sample_topk, SQL_SAMPLE_TOPK),
     "minhash_lsh_dupes": (q_minhash_lsh_dupes, SQL_MINHASH_LSH_DUPES),
     "simhash_dupes": (q_simhash_dupes, None),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
