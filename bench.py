@@ -240,7 +240,11 @@ def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dic
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_urls = int(os.environ.get("STARCHART_BENCH_URLS", "2000000"))
+    # 20M default: below ~10M the frontier number measures fixed stage
+    # costs, not throughput (at 2M the same pipeline reads ~196k/s; at 20M,
+    # ~900k/s on 32 cores). Scaled down when benching a tiny sf dir.
+    default_urls = 20_000_000 if "0.1" in sf_dir else 2_000_000
+    n_urls = int(os.environ.get("STARCHART_BENCH_URLS", str(default_urls)))
     try:
         out = _run_once(sf_dir, cpus, n_urls, local_dir=None)
     except Exception as e:  # worker crash / memory pressure: one clean retry
