@@ -10,6 +10,10 @@ Two paths:
 - **LSH-bucketed ANN** — random-hyperplane signatures (deterministic seed)
   bucket the corpus; queries probe their own bucket (+ optional multi-probe),
   exact cosine reranks candidates. The scale path when #queries is large.
+- **IVF ANN** — deterministic k-means-lite coarse quantizer; queries search
+  their nprobe nearest centroid buckets, exact rerank. Trades index build
+  cost for tighter candidate sets than LSH on clustered corpora;
+  nprobe == n_centroids degenerates to exhaustive (tested equal to brute).
 
 Determinism: similarities are rounded to 6 dp and ties break on vec_id, so
 results are stable across engines and partitionings.
@@ -216,6 +220,157 @@ def hyperplane_signatures(
             yield pd.concat(outs, ignore_index=True)
 
     return df.mapInPandas(_buckets, schema)
+
+
+def ivf_centroids(
+    spark: SparkSession,
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train IVF coarse centroids with distributed Lloyd iterations.
+
+    Deterministic k-means-lite: seeds are the ``n_centroids`` corpus vectors
+    with the smallest Fibonacci-Weyl selector of their id (reproducible, no
+    RNG); each iteration assigns vectors to their nearest centroid in a
+    vectorized Arrow pass (centroids broadcast — a centroid table is model
+    state, O(k·d) floats, the one thing that SHOULD live on every node) and
+    emits per-batch partial sums, so the shuffle carries k rows per
+    partition, never vectors. The k×d mean update happens driver-side —
+    that is the standard k-means topology, not a data collect.
+    """
+    from starchart_spark.operators.sampling import selector
+
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .orderBy(selector(id_col), F.col(id_col))
+        .limit(n_centroids)
+        .toPandas()
+    )
+    cents = _normalize(np.stack(seeds[vec_col].to_numpy()).astype(np.float64))
+    sums_schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+            T.StructField("sums", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    for _ in range(n_iters):
+        bc = spark.sparkContext.broadcast(cents)
+
+        def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+                cid = np.argmax(mat @ c.T, axis=1)
+                rows = []
+                for ci in np.unique(cid):
+                    sel = mat[cid == ci]
+                    rows.append((int(ci), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cid", "n", "sums"])
+
+        parts = corpus.select(vec_col).mapInPandas(_partials, sums_schema).toPandas()
+        new = cents.copy()
+        for ci, grp in parts.groupby("cid"):
+            total = np.stack(grp["sums"].to_numpy()).sum(axis=0)
+            n = grp["n"].sum()
+            if n:
+                new[ci] = total / n
+        cents = _normalize(new)
+    return cents
+
+
+def ann_topk_ivf(
+    spark: SparkSession,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid
+    buckets, search only each query's ``nprobe`` nearest buckets, exact
+    cosine rerank (reported sims are exact; IVF bounds recall/cost).
+
+    The scale shape: the corpus is scanned once to tag each vector with its
+    bucket (pure Arrow pass, centroids broadcast); the search is a
+    bucket-equi-join that touches nprobe/n_centroids of the corpus per
+    query. ``nprobe == n_centroids`` degenerates to exhaustive search —
+    equal to ``brute_force_topk`` by construction (pytest asserts it).
+    """
+    cents = ivf_centroids(spark, corpus, n_centroids, n_iters, id_col, vec_col)
+    bc = spark.sparkContext.broadcast(cents)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("vc", T.ArrayType(T.DoubleType(), False), False),
+            T.StructField("cid", T.IntegerType(), False),
+        ]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cid = np.argmax(_normalize(mat) @ c.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "vc": list(mat),
+                    "cid": cid.astype(np.int32),
+                }
+            )
+
+    tagged = corpus.select(id_col, vec_col).mapInPandas(_assign, assign_schema)
+
+    q = queries.select(id_col, vec_col).toPandas()
+    q_mat = _normalize(np.stack(q[vec_col].to_numpy()).astype(np.float64))
+    probe_cids = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    probes = spark.createDataFrame(
+        [
+            (int(q[id_col].iloc[i]), [float(x) for x in q[vec_col].iloc[i]], int(c))
+            for i in range(len(q))
+            for c in probe_cids[i]
+        ],
+        T.StructType(
+            [
+                T.StructField("q_id", T.LongType(), False),
+                T.StructField("vq", T.ArrayType(T.DoubleType(), False), False),
+                T.StructField("cid", T.IntegerType(), False),
+            ]
+        ),
+    )
+
+    def norm(c):
+        return F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))
+
+    cand = (
+        F.broadcast(probes)
+        .join(tagged, "cid")
+        .filter(F.col("q_id") != F.col("vec_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with("vq", "vc", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = cand.withColumn(
+        "sim", F.round(dot / (norm(F.col("vq")) * norm(F.col("vc"))), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.select("q_id", "vec_id", "sim")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def ann_topk_lsh(

@@ -810,6 +810,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     ).select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """Approximate top-10 via IVF (deterministic k-means-lite coarse
+    quantizer, nprobe bucket search, exact rerank). Approximate by design →
+    rows-only check; recall vs brute force and nprobe=K exhaustive equality
+    asserted in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_topk_ivf(
+        spark, emb, queries, k=10, n_centroids=16, nprobe=4
+    ).select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 def q_media_type_dispatch(spark, sf_dir):
     """Multimodal: typed dispatch of media refs (extension → modality) — the
     plumbing in operators/multimodal.py over synthesized refs."""
@@ -1014,6 +1026,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "cosine_pairs_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "media_type_dispatch": (q_media_type_dispatch, SQL_MEDIA_TYPE_DISPATCH),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),

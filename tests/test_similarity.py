@@ -77,3 +77,32 @@ def test_ann_lsh_recall(spark, emb):
         a.setdefault(r["q_id"], set()).add(r["vec_id"])
     recalls = [len(a.get(q, set()) & b[q]) / len(b[q]) for q in b]
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_ann_ivf_exhaustive_equals_brute(spark, emb):
+    """nprobe == n_centroids degenerates IVF to exhaustive search: identical
+    (q_id, rank, vec_id) to brute force."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = similarity.brute_force_topk(spark, emb, queries, k=5)
+    ivf = similarity.ann_topk_ivf(
+        spark, emb, queries, k=5, n_centroids=8, nprobe=8
+    )
+    kb = sorted((r["q_id"], r["rank"], r["vec_id"]) for r in brute.collect())
+    ki = sorted((r["q_id"], r["rank"], r["vec_id"]) for r in ivf.collect())
+    assert kb == ki
+
+
+def test_ann_ivf_recall(spark, emb):
+    """IVF recall@5 vs brute at nprobe=4/16 on the near-orthogonal corpus
+    (hardest case for a coarse quantizer too)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.brute_force_topk(spark, emb, queries, k=5)
+    ivf = similarity.ann_topk_ivf(spark, emb, queries, k=5, n_centroids=16, nprobe=4)
+    b = {}
+    for r in brute.collect():
+        b.setdefault(r["q_id"], set()).add(r["vec_id"])
+    a = {}
+    for r in ivf.collect():
+        a.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(a.get(q, set()) & b[q]) / len(b[q]) for q in b]
+    assert sum(recalls) / len(recalls) >= 0.5
