@@ -194,6 +194,16 @@ def frontier_pipeline(spark, n_urls: int) -> dict:
     }
 
 
+def shuffle_partitions_for(cores: int, n_rows: int) -> int:
+    """Spill-aware sizing: cores*2 (the ladder-validated default) until
+    data volume pushes past ~400k rows/partition, then scale with volume,
+    capped at cores*8. Measured at 50M URLs / 32 cores: 64 partitions
+    spill the confirm stage (78s); 128-256 run it in ~31s (up to 1.08M
+    URLs/s). Below that size the box's run-to-run noise (2x bursts)
+    swamps any partition-count effect — repeated A/B at 20M showed none."""
+    return max(cores * 2, min(n_rows // 400_000, cores * 8))
+
+
 def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dict:
     extra = {}
     if local_dir:
@@ -201,7 +211,7 @@ def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dic
     spark = get_spark(
         app_name="starchart-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 16),
+        shuffle_partitions=shuffle_partitions_for(cpus, n_urls),
         extra_conf=extra,
     )
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -20,6 +20,9 @@ import bench
 
 
 def run(cores: int, n_urls: int) -> float:
+    # cores*2, NOT the bench's volume-aware rule: measured at 50M, extra
+    # partitions only pay off at 32 cores (spill relief); at 2-8 cores the
+    # per-task overhead wins. SCALING.json was produced with this sizing.
     spark = bench.get_spark(
         master=f"local[{cores}]", shuffle_partitions=cores * 2, app_name=f"scale{cores}"
     )
