@@ -15,7 +15,7 @@ bench:
 	python bench.py
 
 scaling:
-	python scaling_bench.py
+	python scaling_run.py
 
 clean:
 	rm -rf dist .pytest_cache
