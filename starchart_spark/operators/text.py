@@ -45,6 +45,24 @@ def token_count(text_col: Column | str) -> Column:
     return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
 
 
+def normalize_text(text_col: Column | str) -> Column:
+    """Canonical text form for dedup keys: lowercase, control characters
+    and zero-width marks stripped, all whitespace runs collapsed to one
+    space, trimmed. Pure JVM regexp (codegen); the standard cleanup before
+    exact/near dedup so trivially-different bytes hash identically. (No
+    Unicode NFC here — Spark has no built-in normalizer and a Python UDF
+    in the dedup hot path is exactly what this module avoids; NFC belongs
+    in ingest if sources mix compositions.)"""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # strip NON-whitespace controls first (whitespace controls must become
+    # spaces, not vanish); explicit whitespace class because Java \s and
+    # RE2 \s disagree on \x0B — the oracle must byte-match
+    cleaned = F.regexp_replace(
+        c, r"[\x00-\x08\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]", ""
+    )
+    return F.trim(F.regexp_replace(F.lower(cleaned), "[ \t\n\x0B\f\r]+", " "))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features.
 

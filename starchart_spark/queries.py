@@ -537,6 +537,27 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
 SQL_NGRAM_JACCARD_PREFIX = _SQL_JACCARD_PAIRS
 
 
+def q_normalize_text(spark, sf_dir):
+    """Canonical text form before dedup keys: control-strip, lowercase,
+    whitespace collapse — exercised on deterministically-messed input
+    (upper + planted tabs/newlines) so the normalization does real work."""
+    messy = F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("\tX\n"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.normalize_text(messy).alias("norm_text")
+    )
+
+
+SQL_NORMALIZE_TEXT = r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         lower(regexp_replace('  ' || upper(text) || chr(9) || 'X' || chr(10),
+                              '[\x00-\x08\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]',
+                              '', 'g')),
+         '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
 _SEL_SQL = "((({col} % 2147483647) * 1327217885 + 12345) % 2147483647)"
 
 
@@ -1013,6 +1034,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ngram_jaccard_dupes": (q_ngram_jaccard_dupes, SQL_NGRAM_JACCARD_DUPES),
     "ngram_jaccard_prefix": (q_ngram_jaccard_prefix, SQL_NGRAM_JACCARD_PREFIX),
     "dup_clusters": (q_dup_clusters, SQL_DUP_CLUSTERS),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "sample_fraction": (q_sample_fraction, SQL_SAMPLE_FRACTION),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "sample_topk": (q_sample_topk, SQL_SAMPLE_TOPK),

@@ -41,6 +41,21 @@ def test_lang_id_deterministic(docs):
     assert first == again
 
 
+def test_normalize_text(spark):
+    rows = [
+        (1, "  Hello\t\tWORLD \n"),
+        (2, "a\x00b\x01c"),          # non-ws controls vanish, no space
+        (3, "x​Y﻿z"),      # zero-width marks vanish
+        (4, "line1\nline2"),         # ws controls become ONE space
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", text.normalize_text("text").alias("n")).collect()
+    }
+    assert got == {1: "hello world", 2: "abc", 3: "xyz", 4: "line1 line2"}
+
+
 def test_fingerprint_order_sensitive(spark):
     df = spark.createDataFrame([("a bb ccc",), ("ccc bb a",)], ["text"])
     out = [r["fp"] for r in text.fingerprint(df).collect()]
