@@ -196,6 +196,29 @@ def test_probe_jvm_plan_has_no_python(spark, keyed):
     filters.unpersist()
 
 
+def test_probe_jvm_parity_on_adversarial_keys(spark):
+    """numpy-kernel vs Catalyst-expression parity on hostile key patterns:
+    negative hashes, extreme longs, sequential runs — the signed/unsigned
+    and shift-semantics corners."""
+    keys = (
+        [-(2**63), 2**63 - 1, -1, 0, 1]
+        + list(range(-500, 500, 7))
+        + [i * (2**40) for i in range(-20, 20)]
+    )
+    rows = [(int(k), "h", abs(int(k)) % 8) for k in keys]
+    df = spark.createDataFrame(rows, ["key_hash", "hostname", "host_bucket"])
+    filters = bloom.build(df.filter(F.col("key_hash") % 3 == 0))
+    a = sorted(
+        (r["key_hash"], r["maybe_seen"])
+        for r in bloom.probe(spark, df, filters).collect()
+    )
+    b = sorted(
+        (r["key_hash"], r["maybe_seen"])
+        for r in bloom.probe_jvm(df, filters).collect()
+    )
+    assert a == b
+
+
 def test_cuckoo_incremental_update_add_delete(spark, keyed):
     filters = cuckoo.build(keyed)
     changes = spark.createDataFrame(

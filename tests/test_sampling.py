@@ -55,6 +55,23 @@ def test_stratified_thresholds(spark):
     )
 
 
+def test_fraction_predicate_reaches_scan(spark, tmp_path):
+    """The sampling predicate must be a scan-level filter (no shuffle, no
+    Python): the plan shows a Filter directly over the file scan and no
+    exchange before it."""
+    path = str(tmp_path / "docs.parquet")
+    _docs(spark).write.parquet(path)
+    plan = (
+        sampling.sample_fraction(spark.read.parquet(path), 0.2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("Exchange", "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan
+    assert "Filter" in plan and "FileScan parquet" in plan
+
+
 def test_exact_k_reproducible(spark):
     df = _docs(spark)
     a = [r["doc_id"] for r in sampling.sample_exact_k(df, 50).collect()]
