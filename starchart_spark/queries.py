@@ -789,7 +789,10 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 10
 
 def q_cosine_pairs(spark, sf_dir):
     """Embedding near-dup pairs: exact cosine ≥ 0.3 via JVM-side array
-    arithmetic (zip_with/aggregate, no Python)."""
+    arithmetic (zip_with/aggregate, no Python). This is the SMALL-N ORACLE
+    shape (a deliberate cartesian, fine at registry scale); the production
+    pair-mining path is `cosine_pairs_lsh` (bucketed candidates → exact
+    rerank), registered alongside with the same oracle contract."""
     return similarity.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), 0.3)
 
 
