@@ -27,6 +27,13 @@ Batch dataflow (SURVEY.md §3.1):
       → url_seen append ; visit-log append ; lineage counters append [A3]
       → pending overwrite ; state snapshot commit (the checkpoint)
 
+All of the above is ONE Spark action per batch (snapstore.multi_commit):
+the sink rows union into a single partitioned write whose per-table counts
+and next-batch active-host count are observed metrics, and the snapshot
+commits are driver-side file moves in order, state last — the Spark
+equivalent of the reference's one-transaction-per-page commit
+(src/spider.rs:88-123). Asserted by tests/test_single_action_batch.py.
+
 TTL re-crawl (P3): hosts stamp ``last_crawl_on`` from the injected batch
 clock when they drain; ``reactivate_due(now_s)`` re-enters them at page 1
 once ``now - last_crawl_on >= ttl`` (src/spider.rs:192-202).
@@ -52,7 +59,17 @@ from starchart_spark import tables
 from starchart_spark.functions.urls import canonicalize_udf, host_bucket, url_hash
 from starchart_spark.operators import bloom as bloom_mod
 from starchart_spark.operators import dedup, normalize, politeness
-from starchart_spark.snapstore import SnapshotTable
+from starchart_spark.snapstore import SnapshotTable, _key_join, multi_commit
+
+# seen-key hash preimage separator. \x01 cannot occur in hostnames or names,
+# so (kind, hostname, key1, key2) → string is injective. MUST be the same at
+# every hash site: the bloom filter stores mixes of _seen_keys' hashes and is
+# probed with the candidate-side hash — round 2 had the user-key site using
+# "" while _seen_keys used "\x01", which made every user-key bloom probe a
+# false negative (silently masked then by merge_insert's exact anti-join;
+# exposed when the single-action commit made the stored seen keys flow from
+# the probed candidates).
+KEY_SEP = "\x01"
 
 STATE = T.StructType(
     [
@@ -156,7 +173,7 @@ class CrawlEngine:
         )
         return out.withColumn(
             "key_hash",
-            url_hash(F.concat_ws("", "key_kind", "hostname", "key1", "key2")),
+            url_hash(F.concat_ws(KEY_SEP, "key_kind", "hostname", "key1", "key2")),
         ).withColumn("host_bucket", self._bucket("hostname"))
 
     def _new_against_seen(self, cands: DataFrame, bloom_filters) -> DataFrame:
@@ -245,30 +262,6 @@ class CrawlEngine:
                 return None
         return filters
 
-    def _advance_bloom(self, batch_id: int, new_keys: DataFrame) -> None:
-        """Incremental maintenance: OR only this batch's committed keys into
-        their buckets (O(new keys)); rebuild just the overfull buckets."""
-        if not self.s.use_bloom:
-            return
-        filters = bloom_mod.update(
-            self.bloom_state.read(self.spark),
-            new_keys.select("host_bucket", "key_hash"),
-        )
-        self.bloom_state.overwrite(filters, {"batch_id": batch_id})
-        over = [
-            int(r["host_bucket"])
-            for r in bloom_mod.overfull(self.bloom_state.read(self.spark)).collect()
-        ]
-        if over:
-            cur = self.bloom_state.read(self.spark)
-            rebuilt = bloom_mod.build(
-                self.url_seen.read(self.spark).filter(F.col("host_bucket").isin(over))
-            )
-            self.bloom_state.overwrite(
-                cur.filter(~F.col("host_bucket").isin(over)).unionByName(rebuilt),
-                {"batch_id": batch_id, "rebuilt_buckets": len(over)},
-            )
-
     def run(
         self,
         documents: DataFrame,
@@ -298,15 +291,20 @@ class CrawlEngine:
         batches = 0
         limit = max_batches if max_batches is not None else self.s.max_batches
 
+        # the active-host count for batch k+1 is observed on batch k's
+        # commit write — only the FIRST iteration pays a count() job
+        n_active: int | None = None
         while batches < limit:
             state = self.state.read(self.spark)
             active = state.filter(F.col("active")).persist()
-            if active.count() == 0:
+            if n_active is None:
+                n_active = active.count()
+            if n_active == 0:
                 active.unpersist()
                 break
             batch_id += 1
             batches += 1
-            self._run_batch(batch_id, active, docs)
+            n_active = self._run_batch(batch_id, active, docs)
             active.unpersist()
 
         if batch_time_s is not None:
@@ -361,7 +359,17 @@ class CrawlEngine:
 
     # -- one micro-batch -----------------------------------------------------------
 
-    def _run_batch(self, batch_id: int, active: DataFrame, docs: DataFrame) -> None:
+    def _run_batch(self, batch_id: int, active: DataFrame, docs: DataFrame) -> int:
+        """One micro-batch, committed by ONE Spark action (multi_commit).
+
+        Returns the observed active-host count of the NEW state — the
+        driver loop's continue/stop signal, collected as a metric on the
+        commit write instead of a separate count() job. At default settings
+        a batch triggers exactly one Spark action (asserted by
+        tests/test_single_action_batch.py); the only extra jobs are the
+        rare overfull-bucket bloom rebuild and, when ``bloom_min_keys`` is
+        configured, the engage-threshold count in ``_load_bloom``.
+        """
         s = self.s
         # 0. fetches deferred by the politeness budget in earlier batches:
         # hosts with pending rows resume their partially-fetched page instead
@@ -489,7 +497,15 @@ class CrawlEngine:
         )
         repo_cands = normalize.normalize_repositories(sched_repo_rows, topics)
 
-        # 6. seen filter (bloom prefilter + exact anti-join) and MERGE sinks
+        # 6. seen filter (bloom prefilter + exact anti-join) and MERGE sinks.
+        # Steps 6-9 are DECLARED here and materialized by ONE Spark action
+        # (snapstore.multi_commit) at the end of the batch — the reference
+        # commits a page's users/repos/seen rows in one sqlite transaction
+        # (src/spider.rs:88-123); round 2's ~6 jobs with a count() sync
+        # point per table made driver round-trips the cadence floor at
+        # 10^4-batch scale. Per-table row counts (and the next batch's
+        # active-host count) ride along as observed metrics on the single
+        # write job — never as separate count() jobs.
         bloom_filters = self._load_bloom()
 
         u_keyed = (
@@ -498,41 +514,56 @@ class CrawlEngine:
             .withColumn("key2", F.lit(None).cast("string"))
             .withColumn(
                 "key_hash",
-                url_hash(F.concat_ws("", "key_kind", "hostname", "key1", "key2")),
+                url_hash(F.concat_ws(KEY_SEP, "key_kind", "hostname", "key1", "key2")),
             )
             .withColumn("host_bucket", self._bucket("hostname"))
         )
+        # new vs url_seen (crawl semantics) ...
         u_new = self._new_against_seen(u_keyed, bloom_filters)
-        _, u_ins = self.users.merge_insert(self.spark, u_new, {"batch_id": batch_id})
-        _, u_seen_ins = self.url_seen.merge_insert(
-            self.spark, self._seen_keys(u_ins, "user", F.col("username"), None),
-            {"batch_id": batch_id},
-        )
+        # ... and vs the entity table itself (kill-replay idempotency: a
+        # crash after the users commit but before url_seen's replays this
+        # batch; this anti-join suppresses the double insert while the seen
+        # keys — derived from u_new, NOT u_ins — still land, so both tables
+        # converge whichever side of the commit sequence the crash fell on)
+        u_ins = _key_join(
+            u_new.select(*[f.name for f in tables.USERS.fields]),
+            self.users.read(self.spark),
+            ["hostname", "username"],
+            "left_anti",
+        ).select(*[f.name for f in tables.USERS.fields])
+        # reuse the PROBED hash instance — the stored seen key is, by
+        # construction, the exact value the bloom layer was probed with
+        u_seen_rows = u_new.select(*[f.name for f in tables.URL_SEEN.fields])
 
         rkeys_df = repo_cands.withColumn("key_kind", F.lit("repo")).withColumn(
             "key1", F.col("name")
         ).withColumn("key2", F.col("owner")).withColumn(
             "key_hash",
-            url_hash(F.concat_ws("", "key_kind", "hostname", "key1", "key2")),
+            url_hash(F.concat_ws(KEY_SEP, "key_kind", "hostname", "key1", "key2")),
         ).withColumn("host_bucket", self._bucket("hostname"))
-        r_new = self._new_against_seen(rkeys_df, bloom_filters)
-        _, r_ins = self.repositories.merge_insert(
-            self.spark,
-            dedup.keep_first(
-                r_new, ["hostname", "owner", "name"], ["page", "idx_in_page"]
-            ),
-            {"batch_id": batch_id},
+        r_new = dedup.keep_first(
+            self._new_against_seen(rkeys_df, bloom_filters),
+            ["hostname", "owner", "name"],
+            ["page", "idx_in_page"],
         )
-        _, r_seen_ins = self.url_seen.merge_insert(
-            self.spark, self._seen_keys(r_ins, "repo", F.col("name"), F.col("owner")),
-            {"batch_id": batch_id},
-        )
-        self._advance_bloom(
-            batch_id,
-            u_seen_ins.select("host_bucket", "key_hash").unionByName(
-                r_seen_ins.select("host_bucket", "key_hash")
-            ),
-        )
+        r_ins = _key_join(
+            r_new.select(*[f.name for f in tables.REPOSITORIES.fields]),
+            self.repositories.read(self.spark),
+            ["hostname", "owner", "name"],
+            "left_anti",
+        ).select(*[f.name for f in tables.REPOSITORIES.fields])
+        r_seen_rows = r_new.select(*[f.name for f in tables.URL_SEEN.fields])
+
+        seen_rows = u_seen_rows.unionByName(r_seen_rows)
+        # bloom maintenance in the same DAG: OR this batch's new keys into
+        # their buckets (O(new keys)); the overfull probe is an observed
+        # metric, so the (rare) per-bucket rebuild is the only extra job
+        bloom_part = None
+        if self.s.use_bloom:
+            bloom_part = bloom_mod.update(
+                self.bloom_state.read(self.spark),
+                seen_rows.select("host_bucket", "key_hash"),
+            )
 
         # 7. visit log (pure-function crawl order evidence): every scheduled
         # fetch was actually performed this batch and is logged exactly once
@@ -541,7 +572,6 @@ class CrawlEngine:
             F.lit(batch_id).alias("batch_id"),
             "forge_id", "hostname", "page", "idx_in_page", "doc_id",
         )
-        self.visit_log.append(visits, {"batch_id": batch_id})
 
         # 8. lineage counters per partition (A3 / north_rule)
         fetched_n = scheduled
@@ -576,7 +606,6 @@ class CrawlEngine:
                 F.coalesce("deferred_by_politeness", F.lit(0)).alias("deferred_by_politeness"),
             )
         )
-        self.lineage.append(lineage, {"batch_id": batch_id})
 
         # 9. state advance — THE commit point of the batch.
         # Termination (A2, spider.rs:74-77): an existing page with zero repos
@@ -622,17 +651,71 @@ class CrawlEngine:
                 .alias("last_crawl_on"),
             )
         )
-        # carried fetches for the next batch (written before the state
-        # commit; a kill between the two replays this batch idempotently)
-        self.pending.overwrite(
-            deferred.select(*[f.name for f in PENDING.fields]),
+        # THE batch commit: one partitioned write materializes every
+        # table's outgoing rows, then each table's snapshot lands in listed
+        # order — state LAST (the commit point; a kill anywhere earlier
+        # replays this batch idempotently via the in-DAG anti-joins above).
+        parts = [
+            (self.users, u_ins, "merge-append"),
+            (self.repositories, r_ins, "merge-append"),
+            (self.url_seen, seen_rows, "merge-append"),
+        ]
+        if bloom_part is not None:
+            parts.append((self.bloom_state, bloom_part, "overwrite"))
+        parts += [
+            (self.visit_log, visits, "append"),
+            (self.lineage, lineage, "append"),
+            (self.pending, deferred.select(*[f.name for f in PENDING.fields]),
+             "overwrite"),
+            (self.state, new_state, "overwrite"),
+        ]
+        extra = {
+            # the while-loop's continue/stop decision for the NEXT batch,
+            # observed on this batch's write instead of a count() job
+            "n_active_next": F.sum(
+                F.when((F.col("__tbl") == "state") & F.col("active"), 1).otherwise(0)
+            ),
+            "n_overfull": F.sum(
+                F.when(
+                    (F.col("__tbl") == "bloom_state")
+                    & (F.col("n_keys") * F.lit(bloom_mod.DEFAULT_BITS_PER_KEY)
+                       > F.col("m_bits")),
+                    1,
+                ).otherwise(0)
+            ),
+        }
+        got = multi_commit(
+            self.spark,
+            os.path.join(self.warehouse, "_staging", f"batch_{batch_id}"),
+            parts,
             {"batch_id": batch_id},
+            extra_metrics=extra,
         )
-        self.state.overwrite(new_state, {"batch_id": batch_id})
 
         scheduled.unpersist()
         deferred.unpersist()
         sched_repo_rows.unpersist()
+
+        # rare path: a bucket outgrew its bitmap — rebuild just that bucket
+        if self.s.use_bloom and int(got.get("n_overfull") or 0) > 0:
+            over = [
+                int(r["host_bucket"])
+                for r in bloom_mod.overfull(
+                    self.bloom_state.read(self.spark)
+                ).collect()
+            ]
+            if over:
+                cur = self.bloom_state.read(self.spark)
+                rebuilt = bloom_mod.build(
+                    self.url_seen.read(self.spark).filter(
+                        F.col("host_bucket").isin(over)
+                    )
+                )
+                self.bloom_state.overwrite(
+                    cur.filter(~F.col("host_bucket").isin(over)).unionByName(rebuilt),
+                    {"batch_id": batch_id, "rebuilt_buckets": len(over)},
+                )
+        return int(got.get("n_active_next") or 0)
 
     # -- deletes (delete_user / delete_repository parity) ------------------------------
 

@@ -1,0 +1,114 @@
+"""Single-action micro-batch commit (VERDICT r2 'do this' #1).
+
+The reference commits each page's users/repositories/seen rows in one sqlite
+transaction (/root/reference/src/spider.rs:88-123). The engine's Spark
+re-expression must not replace that with N jobs + driver count() sync
+points: at 10^4 micro-batches the driver round-trips, not the data, become
+the cadence floor. Contract asserted here: at default settings one
+``_run_batch`` call triggers EXACTLY ONE write action and ZERO
+count/collect/toPandas driver actions — every per-table row count and the
+next batch's active-host count are observed metrics on the single write.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.readwriter import DataFrameWriter
+
+from starchart_spark.crawl.corpus import CorpusSpec, make_corpus
+from starchart_spark.crawl.engine import CrawlEngine, CrawlSettings
+from starchart_spark.testing import corpus_to_spark
+
+SPEC = CorpusSpec(n_forges=2, repos_per_forge=30, page_size=10)
+SETTINGS = dict(host_buckets=4, items_per_api_call=10)
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    return corpus_to_spark(spark, make_corpus(SPEC))
+
+
+class ActionCounter:
+    """Counts driver-triggered Spark actions via monkeypatched entry points."""
+
+    def __init__(self, monkeypatch):
+        self.writes = 0
+        self.counts = 0
+        self.collects = 0
+        self.to_pandas = 0
+        mp = monkeypatch
+
+        orig_parquet = DataFrameWriter.parquet
+        orig_count = DataFrame.count
+        orig_collect = DataFrame.collect
+        orig_topandas = DataFrame.toPandas
+        counter = self
+
+        def parquet(w, *a, **kw):
+            counter.writes += 1
+            return orig_parquet(w, *a, **kw)
+
+        def count(df):
+            counter.counts += 1
+            return orig_count(df)
+
+        def collect(df):
+            counter.collects += 1
+            return orig_collect(df)
+
+        def toPandas(df):
+            counter.to_pandas += 1
+            return orig_topandas(df)
+
+        mp.setattr(DataFrameWriter, "parquet", parquet)
+        mp.setattr(DataFrame, "count", count)
+        mp.setattr(DataFrame, "collect", collect)
+        mp.setattr(DataFrame, "toPandas", toPandas)
+
+
+def test_batch_is_one_action(spark, tmp_path, monkeypatch, dfs):
+    eng = CrawlEngine(spark, str(tmp_path / "wh"), CrawlSettings(**SETTINGS))
+    eng.init_state(dfs["seed_forges"], dfs["consent"])
+    docs = dfs["documents"].withColumn("host_bucket", eng._bucket("hostname"))
+
+    # run batch 1 uninstrumented (startup paths — _ensure_bloom etc. — are
+    # one-time, not per-batch), then assert the steady-state batch 2
+    state = eng.state.read(spark).filter(F.col("active")).persist()
+    assert state.count() > 0
+    n_next = eng._run_batch(1, state, docs)
+    state.unpersist()
+    assert n_next > 0  # both forges still have pages
+
+    state = eng.state.read(spark).filter(F.col("active")).persist()
+    c = ActionCounter(monkeypatch)
+    n_next2 = eng._run_batch(2, state, docs)
+    state.unpersist()
+
+    assert c.writes == 1, f"expected 1 write action per batch, saw {c.writes}"
+    assert c.counts == 0, f"count() driver sync points in batch: {c.counts}"
+    assert c.collects == 0, f"collect() driver sync points in batch: {c.collects}"
+    assert c.to_pandas == 0
+    assert n_next2 >= 0
+
+
+def test_observed_active_count_matches_state(spark, tmp_path, dfs):
+    """The observed n_active_next metric must equal what a count() of the
+    committed state would return — the loop's stop condition depends on it."""
+    eng = CrawlEngine(spark, str(tmp_path / "wh2"), CrawlSettings(**SETTINGS))
+    eng.init_state(dfs["seed_forges"], dfs["consent"])
+    docs = dfs["documents"].withColumn("host_bucket", eng._bucket("hostname"))
+    batch_id = 0
+    while True:
+        state = eng.state.read(spark).filter(F.col("active")).persist()
+        true_n = state.count()
+        if true_n == 0:
+            state.unpersist()
+            break
+        batch_id += 1
+        observed = eng._run_batch(batch_id, state, docs)
+        state.unpersist()
+        recount = eng.state.read(spark).filter(F.col("active")).count()
+        assert observed == recount, (batch_id, observed, recount)
+    assert batch_id >= 3  # drained after several pages
