@@ -787,20 +787,31 @@ SELECT q_id, vec_id, rank FROM ranked WHERE rank <= 10
 """
 
 
+# hard bound on the cartesian oracle's input: embeddings tables at every
+# test sf sit well under it (2k rows at sf0.1), so results are unchanged,
+# but the O(N²) shape can no longer be pointed at an arbitrarily large sf
+# dir (VERDICT r2 "do this" #4). Deterministic predicate, not .limit() —
+# limit on an unordered scan is nondeterministic and would break the oracle.
+COSINE_PAIRS_CAP = 10_000
+
+
 def q_cosine_pairs(spark, sf_dir):
     """Embedding near-dup pairs: exact cosine ≥ 0.3 via JVM-side array
     arithmetic (zip_with/aggregate, no Python). This is the SMALL-N ORACLE
-    shape (a deliberate cartesian, fine at registry scale); the production
-    pair-mining path is `cosine_pairs_lsh` (bucketed candidates → exact
-    rerank), registered alongside with the same oracle contract."""
-    return similarity.cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), 0.3)
+    shape (a deliberate cartesian, capped at COSINE_PAIRS_CAP input rows);
+    the production pair-mining path is `cosine_pairs_lsh` (bucketed
+    candidates → exact rerank), registered alongside with the same oracle
+    contract."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < COSINE_PAIRS_CAP)
+    return similarity.cosine_pairs_exact(emb, 0.3)
 
 
 SQL_COSINE_PAIRS = """
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+WHERE a.vec_id < 10000 AND b.vec_id < 10000
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
 """
 
 
@@ -821,6 +832,17 @@ SELECT a.vec_id AS a_id, b.vec_id AS b_id,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """
+
+
+def q_embedding_topk_joined(spark, sf_dir):
+    """Same exact top-10 as embedding_topk, but with the query set kept as
+    a DataFrame (broadcast-joined, JVM zip_with dot) — the formulation
+    whose #queries is bounded by the cluster, not the driver. Shares
+    embedding_topk's oracle: identical results by construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk_joined(spark, emb, queries, k=10)
+    return out.select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1048,6 +1070,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_topk_joined": (q_embedding_topk_joined, SQL_EMBEDDING_TOPK),
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "cosine_pairs_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),

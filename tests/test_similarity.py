@@ -106,3 +106,116 @@ def test_ann_ivf_recall(spark, emb):
         a.setdefault(r["q_id"], set()).add(r["vec_id"])
     recalls = [len(a.get(q, set()) & b[q]) / len(b[q]) for q in b]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_brute_joined_equals_driver(spark, emb):
+    """The DataFrame-joined exact formulation must reproduce the
+    driver-broadcast BLAS one bit-for-bit (same rounding + tie-break)."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    a = similarity.brute_force_topk(spark, emb, queries, k=7)
+    b = similarity.brute_force_topk_joined(spark, emb, queries, k=7)
+    ka = sorted((r["q_id"], r["rank"], r["vec_id"], r["sim"]) for r in a.collect())
+    kb = sorted((r["q_id"], r["rank"], r["vec_id"], r["sim"]) for r in b.collect())
+    assert ka == kb
+
+
+def test_brute_joined_no_query_collect(spark, emb, monkeypatch):
+    """Plan contract: the joined formulation never collects the query set
+    to the driver (toPandas/collect on queries is the round-2 cliff)."""
+    from pyspark.sql import DataFrame
+
+    def boom(df):
+        raise AssertionError("query set collected to driver")
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    plan = similarity.brute_force_topk_joined(spark, emb, queries, k=3)
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    # plan already declared; executing it must not need a driver collect
+    assert plan.count() > 0
+
+
+def test_ivf_index_build_once_search_many(spark, emb, tmp_path, monkeypatch):
+    """Persisted index: two searches (and a reopen from disk) reuse ONE
+    build — no centroid retraining, no corpus re-tagging per call."""
+    idx = similarity.IvfIndex.build(
+        spark, emb, str(tmp_path / "ivf"), n_centroids=8, n_iters=2
+    )
+    # one-shot path with identical params (deterministic training) is the
+    # reference result
+    queries = emb.filter(F.col("vec_id") < 3)
+    want = sorted(
+        (r["q_id"], r["rank"], r["vec_id"])
+        for r in similarity.ann_topk_ivf(
+            spark, emb, queries, k=5, n_centroids=8, nprobe=3, n_iters=2
+        ).collect()
+    )
+
+    def no_retrain(*a, **kw):
+        raise AssertionError("ivf_centroids retrained on a search call")
+
+    monkeypatch.setattr(similarity, "ivf_centroids", no_retrain)
+    got1 = sorted(
+        (r["q_id"], r["rank"], r["vec_id"])
+        for r in idx.search(spark, queries, k=5, nprobe=3).collect()
+    )
+    got2 = sorted(
+        (r["q_id"], r["rank"], r["vec_id"])
+        for r in similarity.ann_topk_ivf(
+            spark, emb, queries, k=5, nprobe=3, index=idx
+        ).collect()
+    )
+    reopened = similarity.IvfIndex.open(str(tmp_path / "ivf"))
+    got3 = sorted(
+        (r["q_id"], r["rank"], r["vec_id"])
+        for r in reopened.search(spark, queries, k=5, nprobe=3).collect()
+    )
+    assert got1 == want and got2 == want and got3 == want
+
+
+def test_ivf_index_incremental_add(spark, emb, tmp_path):
+    """``add`` tags ONLY the appended vectors against the frozen quantizer:
+    final assignment equals re-tagging those rows with the stored centroids,
+    and re-adding is an idempotent merge."""
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.IvfIndex.build(
+        spark, base, str(tmp_path / "ivf2"), n_centroids=8, n_iters=2
+    )
+    n_base = idx.assign.read(spark).count()
+    idx.add(spark, extra)
+    allrows = idx.assign.read(spark)
+    assert allrows.count() == emb.count()
+    # appended rows must carry the same cid a fresh tag pass (same frozen
+    # centroids) would give them
+    cents = idx._load_cents(spark)
+    want = {
+        r["vec_id"]: r["cid"]
+        for r in similarity._tag_assign(spark, extra, cents).collect()
+    }
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in allrows.join(extra.select("vec_id"), "vec_id", "left_semi").collect()
+    }
+    assert got == want
+    # idempotent re-add
+    idx.add(spark, extra)
+    assert idx.assign.read(spark).count() == n_base + len(want)
+
+
+def test_ivf_search_no_query_collect(spark, emb, tmp_path, monkeypatch):
+    """Joined-query IVF search: the query set is never collected to the
+    driver (probe selection is a broadcast join against the centroid
+    table, not a numpy argsort)."""
+    from pyspark.sql import DataFrame
+
+    idx = similarity.IvfIndex.build(
+        spark, emb, str(tmp_path / "ivf3"), n_centroids=8, n_iters=2
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    plan = idx.search(spark, queries, k=3, nprobe=2)
+
+    def boom(df):
+        raise AssertionError("query set collected to driver")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    assert plan.count() > 0
