@@ -138,16 +138,28 @@ class CrawlEngine:
         self.s = settings or CrawlSettings()
         self._batch_time_s: int | None = None  # injected logical clock (N8)
         os.makedirs(warehouse, exist_ok=True)
-        t = lambda name, schema, keys: SnapshotTable(  # noqa: E731
-            os.path.join(warehouse, name), schema, keys
+        B = self.s.host_buckets
+        t = lambda name, schema, keys, bucket_by=None: SnapshotTable(  # noqa: E731
+            os.path.join(warehouse, name), schema, keys, bucket_by=bucket_by
         )
-        self.forges = t("forges", tables.FORGES, ["hostname"])
-        self.users = t("users", tables.USERS, ["hostname", "username"])
+        # bucket_by enables matched-files-only MERGE on the mutable tables:
+        # TTL stamping (_sync_forge_last_crawl) and entity deletes rewrite
+        # only the touched host buckets, never O(table)
+        self.forges = t("forges", tables.FORGES, ["hostname"], ("hostname", B))
+        self.users = t(
+            "users", tables.USERS, ["hostname", "username"], ("hostname", B)
+        )
         self.repositories = t(
-            "repositories", tables.REPOSITORIES, ["hostname", "owner", "name"]
+            "repositories",
+            tables.REPOSITORIES,
+            ["hostname", "owner", "name"],
+            ("hostname", B),
         )
         self.url_seen = t(
-            "url_seen", tables.URL_SEEN, ["key_kind", "hostname", "key1", "key2"]
+            "url_seen",
+            tables.URL_SEEN,
+            ["key_kind", "hostname", "key1", "key2"],
+            ("host_bucket", B),
         )
         self.lineage = t("lineage", tables.LINEAGE, [])
         self.visit_log = t("visit_log", VISIT_LOG, [])

@@ -82,10 +82,24 @@ class Snapshot:
 class SnapshotTable:
     """One keyed, snapshot-versioned table."""
 
-    def __init__(self, path: str, schema: T.StructType, key_cols: list[str]):
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        bucket_by: tuple[str, int] | None = None,
+    ):
+        """``bucket_by=(col, n)`` enables partition-aware copy-on-write:
+        merge_update/merge_delete keep bucket-pure data files (named
+        ``<uuid>.b<k>``) and rewrite ONLY the buckets the incoming rows
+        touch — Iceberg's matched-files-only MERGE, not an O(table)
+        rewrite. If ``col`` is an integer column it is used as the bucket
+        id directly (e.g. url_seen.host_bucket); a string column is hashed
+        with the engine's host_bucket formula."""
         self.path = path
         self.schema = schema
         self.key_cols = key_cols
+        self.bucket_by = bucket_by
         self._data_dir = os.path.join(path, "data")
         self._snap_dir = os.path.join(path, "snapshots")
         os.makedirs(self._data_dir, exist_ok=True)
@@ -96,6 +110,50 @@ class SnapshotTable:
             with open(tmp, "w") as f:
                 json.dump({"schema": schema.json(), "key_cols": key_cols}, f)
             os.replace(tmp, meta)
+
+    # -- partition-aware copy-on-write helpers --------------------------------
+
+    def _bucket_expr(self) -> F.Column:
+        assert self.bucket_by is not None
+        col, n = self.bucket_by
+        field = next((f for f in self.schema.fields if f.name == col), None)
+        if field is not None and isinstance(field.dataType, T.IntegerType):
+            return F.col(col)
+        from starchart_spark.functions.urls import host_bucket
+
+        return host_bucket(col, n)
+
+    @staticmethod
+    def _file_bucket(rel: str) -> int | None:
+        """Bucket id a data file is pure for, or None for legacy/mixed."""
+        if ".b" in rel:
+            tail = rel.rsplit(".b", 1)[1]
+            if tail.isdigit():
+                return int(tail)
+        return None
+
+    def _write_bucket_files(self, df: DataFrame) -> list[str]:
+        """Write rows as bucket-pure files via a synthetic partition column
+        (so every real schema column stays inside the files), then rename
+        each partition dir to ``<uuid>.b<k>``."""
+        staging = os.path.join(self._data_dir, f".staging-{uuid.uuid4().hex}")
+        (
+            df.select([f.name for f in self.schema.fields])
+            .withColumn("__pb", self._bucket_expr())
+            .write.mode("overwrite")
+            .partitionBy("__pb")
+            .parquet(staging)
+        )
+        rels = []
+        for d in os.listdir(staging):
+            if not d.startswith("__pb="):
+                continue
+            k = int(d.split("=", 1)[1])
+            rel = f"{uuid.uuid4().hex}.b{k}"
+            os.rename(os.path.join(staging, d), os.path.join(self._data_dir, rel))
+            rels.append(rel)
+        _rmtree(staging)
+        return rels
 
     # -- snapshot bookkeeping ------------------------------------------------
 
@@ -140,7 +198,12 @@ class SnapshotTable:
             snap = next(s for s in self.snapshots() if s.snapshot_id == snapshot_id)
         if snap is None or not snap.data_files:
             return spark.createDataFrame([], self.schema)
-        paths = [os.path.join(self._data_dir, f) for f in snap.data_files]
+        return self._read_files(spark, snap.data_files)
+
+    def _read_files(self, spark: SparkSession, rels: list[str]) -> DataFrame:
+        if not rels:
+            return spark.createDataFrame([], self.schema)
+        paths = [os.path.join(self._data_dir, f) for f in rels]
         return spark.read.schema(self.schema).parquet(*paths)
 
     # -- writes ---------------------------------------------------------------
@@ -193,15 +256,61 @@ class SnapshotTable:
         self, spark: SparkSession, df: DataFrame, summary: dict | None = None
     ) -> Snapshot:
         """MERGE ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT
-        (upsert on the natural key). Sandbox implementation rewrites the
-        table; real Iceberg MERGE copy-on-writes only the matched files."""
+        (upsert on the natural key).
+
+        With ``bucket_by`` set, this is Iceberg's matched-files-only
+        copy-on-write: only data files of the buckets the incoming rows
+        touch are rewritten (bucket-pure files are kept verbatim — their
+        bytes never move); legacy mixed files are split into bucket-pure
+        files the first time any of their buckets is touched, after which
+        every later merge is O(touched buckets), not O(table). Without
+        ``bucket_by`` the whole table is rewritten (round-2 behavior)."""
         cols = [f.name for f in self.schema.fields]
         incoming = df.select(cols).dropDuplicates(self.key_cols)
-        kept = _key_join(self.read(spark), incoming, self.key_cols, "left_anti")
-        rel = self._write_data_file(kept.unionByName(incoming))
+        if self.bucket_by is None:
+            kept = _key_join(self.read(spark), incoming, self.key_cols, "left_anti")
+            rel = self._write_data_file(kept.unionByName(incoming))
+            return self._commit(
+                [rel], {"op": "merge-update", "ts_ms": _now_ms(), **(summary or {})}
+            )
+        keep, rewrite, touched = self._split_files(spark, incoming)
+        old = self._read_files(spark, rewrite)
+        kept = _key_join(old, incoming, self.key_cols, "left_anti")
+        rels = self._write_bucket_files(kept.unionByName(incoming))
         return self._commit(
-            [rel], {"op": "merge-update", "ts_ms": _now_ms(), **(summary or {})}
+            keep + rels,
+            {
+                "op": "merge-update",
+                "touched_buckets": len(touched),
+                "kept_files": len(keep),
+                "rewritten_files": len(rewrite),
+                "ts_ms": _now_ms(),
+                **(summary or {}),
+            },
         )
+
+    def _split_files(
+        self, spark: SparkSession, incoming: DataFrame
+    ) -> tuple[list[str], list[str], list[int]]:
+        """Partition current data files into (keep verbatim, rewrite) given
+        the incoming rows' touched buckets. The distinct-bucket collect is
+        bounded by the bucket count (configured small, e.g. 32-256), never
+        by row count. Sound because a row's bucket is a pure function of
+        its key columns: a bucket-pure file of an untouched bucket cannot
+        contain a matching row."""
+        pb = self._bucket_expr()
+        touched = sorted(
+            int(r["__pb"])
+            for r in incoming.select(pb.alias("__pb")).distinct().collect()
+        )
+        tset = set(touched)
+        cur = self.current_snapshot()
+        cur_files = cur.data_files if cur else []
+        keep, rewrite = [], []
+        for f in cur_files:
+            b = self._file_bucket(f)
+            (keep if b is not None and b not in tset else rewrite).append(f)
+        return keep, rewrite, touched
 
     def merge_delete(
         self, spark: SparkSession, keys: DataFrame, summary: dict | None = None
@@ -210,8 +319,18 @@ class SnapshotTable:
         appears in ``keys`` (the reference's ``delete_user`` /
         ``delete_repository``, db/db-sqlx-sqlite/src/lib.rs:677-733).
         Returns the new snapshot and the rows that were actually deleted —
-        callers use them to evict cuckoo-filter fingerprints."""
-        existing = self.read(spark)
+        callers use them to evict cuckoo-filter fingerprints.
+
+        With ``bucket_by`` set, only the touched buckets' files are
+        scanned and rewritten (see merge_update); the delete-keys DataFrame
+        must carry the bucket column (true for every engine caller — seen
+        keys and entity keys both include it or its source column)."""
+        if self.bucket_by is not None and self.bucket_by[0] in keys.columns:
+            keep, rewrite, touched = self._split_files(spark, keys)
+            existing = self._read_files(spark, rewrite)
+        else:
+            keep, rewrite, touched = [], None, []
+            existing = self.read(spark)
         deleted = _key_join(existing, keys, self.key_cols, "left_semi").persist()
         n = deleted.count()
         if n == 0:
@@ -223,9 +342,13 @@ class SnapshotTable:
             )
             return snap, spark.createDataFrame([], self.schema)
         remaining = _key_join(existing, keys, self.key_cols, "left_anti")
-        rel = self._write_data_file(remaining)
+        if rewrite is not None:
+            rels = self._write_bucket_files(remaining)
+            files = keep + rels
+        else:
+            files = [self._write_data_file(remaining)]
         snap = self._commit(
-            [rel],
+            files,
             {"op": "merge-delete", "deleted": n, "ts_ms": _now_ms(), **(summary or {})},
         )
         return snap, deleted

@@ -136,3 +136,79 @@ def test_multi_commit_rejects_type_conflict(spark, tmp_path):
                 (tc, spark.createDataFrame([], bad), "append"),
             ],
         )
+
+
+BUCKETED = T.StructType(
+    [
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.LongType(), False),
+        T.StructField("host_bucket", T.IntegerType(), False),
+    ]
+)
+
+
+def test_partition_aware_merge_update(spark, tmp_path):
+    """bucket_by tables: merge_update rewrites ONLY touched buckets —
+    untouched bucket-pure files are carried into the new snapshot verbatim
+    (same rel path ⇒ same bytes, files are immutable)."""
+    from pyspark.sql import functions as F
+
+    from starchart_spark.functions.urls import host_bucket
+
+    tbl = SnapshotTable(str(tmp_path / "bt"), BUCKETED, ["k"], bucket_by=("host_bucket", 4))
+    rows = spark.range(0, 40).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+        host_bucket(F.concat(F.lit("key"), F.col("id")), 4).alias("host_bucket"),
+    )
+    tbl.merge_update(spark, rows)  # seeds bucket-pure files
+    snap1 = tbl.current_snapshot()
+    assert all(tbl._file_bucket(f) is not None for f in snap1.data_files)
+
+    # touch exactly one bucket
+    one = rows.filter(F.col("host_bucket") == 2).limit(1).withColumn(
+        "v", F.lit(999).cast("long")
+    )
+    tbl.merge_update(spark, one)
+    snap2 = tbl.current_snapshot()
+    untouched_before = {f for f in snap1.data_files if tbl._file_bucket(f) != 2}
+    # every untouched bucket file carried over byte-identical (same path)
+    assert untouched_before <= set(snap2.data_files)
+    assert snap2.summary["touched_buckets"] == 1
+    # and the update took
+    got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    key = one.collect()[0]["k"]
+    assert got[key] == 999 and len(got) == 40
+
+
+def test_partition_aware_merge_delete(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from starchart_spark.functions.urls import host_bucket
+
+    tbl = SnapshotTable(str(tmp_path / "bd"), BUCKETED, ["k"], bucket_by=("host_bucket", 4))
+    rows = spark.range(0, 40).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+        host_bucket(F.concat(F.lit("key"), F.col("id")), 4).alias("host_bucket"),
+    )
+    tbl.merge_update(spark, rows)
+    snap1 = tbl.current_snapshot()
+    victims = rows.filter(F.col("host_bucket") == 1).limit(2)
+    n_victims = victims.count()
+    _, deleted = tbl.merge_delete(spark, victims)
+    assert deleted.count() == n_victims
+    snap2 = tbl.current_snapshot()
+    untouched_before = {f for f in snap1.data_files if tbl._file_bucket(f) != 1}
+    assert untouched_before <= set(snap2.data_files)
+    assert tbl.read(spark).count() == 40 - n_victims
+    # legacy mixed file (plain append) gets split on the next merge
+    extra = spark.createDataFrame([("zz1", 1, 0), ("zz2", 2, 3)], BUCKETED)
+    tbl.append(extra)
+    assert any(tbl._file_bucket(f) is None for f in tbl.current_snapshot().data_files)
+    tbl.merge_update(spark, spark.createDataFrame([("zz1", 5, 0)], BUCKETED))
+    assert all(
+        tbl._file_bucket(f) is not None for f in tbl.current_snapshot().data_files
+    )
+    got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+    assert got["zz1"] == 5 and got["zz2"] == 2
