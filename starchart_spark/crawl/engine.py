@@ -58,7 +58,7 @@ from pyspark.sql import types as T
 from starchart_spark import tables
 from starchart_spark.functions.urls import canonicalize_udf, host_bucket, url_hash
 from starchart_spark.operators import bloom as bloom_mod
-from starchart_spark.operators import dedup, normalize, politeness
+from starchart_spark.operators import dedup, normalize, politeness, skew
 from starchart_spark.snapstore import SnapshotTable, _key_join, multi_commit
 
 # seen-key hash preimage separator. \x01 cannot occur in hostnames or names,
@@ -129,6 +129,11 @@ class CrawlSettings:
     max_batches: int = 10_000
     snapshot_keep: int = 50
     ttl_s: int = 432_000  # crawler.ttl — re-crawl cycle (config/default.toml:35)
+    # salt width for the documents layout: a mega-forge's host_bucket would
+    # otherwise pin ~its whole corpus share to ONE task (a real Iceberg scan
+    # splits a big bucket by file size; the local repartition must emulate
+    # that). Deterministic per-doc salt, so results never depend on it.
+    doc_salt: int = 8
 
 
 class CrawlEngine:
@@ -274,6 +279,22 @@ class CrawlEngine:
                 return None
         return filters
 
+    def _prep_docs(self, documents: DataFrame) -> DataFrame:
+        """Documents layout for the batch loop: bucketed by host for
+        production-layout parity, SALTED so a mega-forge's bucket spreads
+        over many tasks instead of pinning ~its whole corpus share to one
+        (a real Iceberg scan splits a large bucket into many file splits;
+        repartition-by-bucket-alone would not). The salt is a deterministic
+        function of doc_id — nothing downstream depends on the physical
+        layout (the fetch join keys on doc_id), so results are unchanged;
+        tests/test_skew.py asserts no partition exceeds 2x the median even
+        with one host holding half the corpus."""
+        docs = documents.withColumn("host_bucket", self._bucket("hostname"))
+        docs = skew.with_salt(docs, self.s.doc_salt, ["doc_id"], "__doc_salt")
+        return docs.repartition(
+            self.s.host_buckets, "host_bucket", "__doc_salt"
+        ).drop("__doc_salt")
+
     def run(
         self,
         documents: DataFrame,
@@ -296,8 +317,7 @@ class CrawlEngine:
         compares against ttl (P3, src/spider.rs:192-202).
         """
         self._batch_time_s = batch_time_s
-        docs = documents.withColumn("host_bucket", self._bucket("hostname"))
-        docs = docs.repartition(self.s.host_buckets, "host_bucket").persist()
+        docs = self._prep_docs(documents).persist()
         batch_id = self._last_batch_id()
         self._ensure_bloom(batch_id)
         batches = 0
