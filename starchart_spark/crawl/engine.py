@@ -134,6 +134,13 @@ class CrawlSettings:
     # splits a big bucket by file size; the local repartition must emulate
     # that). Deterministic per-doc salt, so results never depend on it.
     doc_salt: int = 8
+    # real-fetch mode (S3 real path): a picklable ``(url) -> spans | None``
+    # transport (crawl/fetcher.py). None = sandbox documents-join stand-in.
+    # With a transport, fetches are performed by per-host applyInPandas
+    # workers honoring the politeness slots as send times; fetch waves are
+    # materialized (side effects must never re-run), so the one-action-per-
+    # batch contract applies to the default mode only.
+    transport: object | None = None
 
 
 class CrawlEngine:
@@ -297,7 +304,7 @@ class CrawlEngine:
 
     def run(
         self,
-        documents: DataFrame,
+        documents: DataFrame | None = None,
         max_batches: int | None = None,
         batch_time_s: int | None = None,
     ) -> dict:
@@ -317,7 +324,20 @@ class CrawlEngine:
         compares against ttl (P3, src/spider.rs:192-202).
         """
         self._batch_time_s = batch_time_s
-        docs = self._prep_docs(documents).persist()
+        if self.s.transport is not None:
+            # real-fetch mode: bodies come from the transport, not the
+            # documents join. Budgeted carryover would need a fetched-body
+            # cache table (a real crawler's response cache) — not wired yet.
+            if self.s.budget_ms is not None:
+                raise NotImplementedError(
+                    "transport mode with a politeness budget needs a "
+                    "fetched-body cache for carried topic rows"
+                )
+            docs = None
+        else:
+            if documents is None:
+                raise ValueError("documents is required without a transport")
+            docs = self._prep_docs(documents).persist()
         batch_id = self._last_batch_id()
         self._ensure_bloom(batch_id)
         batches = 0
@@ -341,7 +361,8 @@ class CrawlEngine:
 
         if batch_time_s is not None:
             self._sync_forge_last_crawl()
-        docs.unpersist()
+        if docs is not None:
+            docs.unpersist()
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
                     self.lineage, self.visit_log, self.state, self.pending,
                     self.bloom_state):
@@ -443,13 +464,28 @@ class CrawlEngine:
 
         # 2. fetch = co-partitioned join against documents (left: missing page
         # == empty page == termination sentinel, spider.rs:74-77)
-        fetched_pages = pages.join(
-            docs.select("doc_id", "spans", "host_bucket").withColumnRenamed(
-                "host_bucket", "hb_doc"
-            ),
-            "doc_id",
-            "left",
-        ).drop("hb_doc")
+        if s.transport is not None:
+            # wave 1: real page fetches — the page call is always slot 0
+            # per host (idx 0). Materialized: a fetch is a side effect and
+            # must never re-run when the DAG re-evaluates a branch.
+            from starchart_spark.crawl import fetcher
+
+            fetched_pages = (
+                fetcher.fetch_batch(
+                    pages.withColumn("slot_ms", F.lit(0).cast("long")), s.transport
+                )
+                .drop("slot_ms", "sent_at_ms")
+                .persist()
+            )
+            fetched_pages.count()
+        else:
+            fetched_pages = pages.join(
+                docs.select("doc_id", "spans", "host_bucket").withColumnRenamed(
+                    "host_bucket", "hb_doc"
+                ),
+                "doc_id",
+                "left",
+            ).drop("hb_doc")
 
         parsed = normalize.parse_search_pages_typed(
             fetched_pages.filter(F.col("spans").isNotNull()).select(
@@ -513,9 +549,25 @@ class CrawlEngine:
         # against docs — a pure function, regardless of which batch actually
         # scheduled each topic fetch.
         topic_docs = all_topic_fetches.join(deferred_hosts, "hostname", "left_anti")
-        topics_raw = topic_docs.join(
-            docs.select("doc_id", "spans"), "doc_id", "left"
-        )
+        if s.transport is not None:
+            # wave 2: real topic fetches, honoring the token-bucket slots
+            # (slot i·rate relative to the wave start — spacing is always
+            # ≥ rate, conservative vs the reference's in-line timeline).
+            # No-budget mode guarantees scheduled ⊇ topic_docs, so every
+            # completing page finds its bodies in this wave.
+            from starchart_spark.crawl import fetcher
+
+            fetched_topics = fetcher.fetch_batch(
+                scheduled.filter(F.col("idx_in_page") > 0), s.transport
+            ).persist()
+            fetched_topics.count()
+            topics_raw = topic_docs.join(
+                fetched_topics.select("doc_id", "spans"), "doc_id", "left"
+            )
+        else:
+            topics_raw = topic_docs.join(
+                docs.select("doc_id", "spans"), "doc_id", "left"
+            )
         topics = normalize.parse_gitea_topics_pages(
             topics_raw.filter(F.col("spans").isNotNull()).select(
                 "doc_id", "hostname", "spans"
@@ -727,6 +779,9 @@ class CrawlEngine:
         scheduled.unpersist()
         deferred.unpersist()
         sched_repo_rows.unpersist()
+        if s.transport is not None:
+            fetched_pages.unpersist()
+            fetched_topics.unpersist()
 
         # rare path: a bucket outgrew its bitmap — rebuild just that bucket
         if self.s.use_bloom and int(got.get("n_overfull") or 0) > 0:

@@ -1,0 +1,124 @@
+"""Real-fetch mode (S3 real path, VERDICT r2 'do this' #10).
+
+The transport-backed fetcher must (a) space consecutive calls to one host
+by at least the politeness rate — the token-bucket slots are the send
+schedule and the per-host worker honors them — and (b) plugged into the
+engine, reproduce the documents-join mode's final state exactly on the
+same corpus (the fetch mode changes WHERE bodies come from, never what is
+crawled).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from starchart_spark.crawl import fetcher
+from starchart_spark.crawl.corpus import CorpusSpec, make_corpus
+from starchart_spark.crawl.engine import CrawlEngine, CrawlSettings
+from starchart_spark.testing import corpus_to_spark
+
+
+def make_recording_transport(log_path):
+    """Transport that logs (url, monotonic_ms) to a shared file —
+    applyInPandas workers run in separate processes, so an in-memory list
+    would never reach the driver. A closure, so cloudpickle ships it by
+    value (a test-module class is not importable on workers)."""
+
+    def _t(url):
+        import time as _time
+
+        with open(log_path, "a") as f:
+            f.write(f"{url}\t{_time.monotonic_ns() // 1_000_000}\n")
+        return [{"kind": "api_json", "text": "[]", "media_ref": None, "offset": 0}]
+
+    return _t
+
+
+def test_per_host_call_spacing(spark, tmp_path):
+    rate = 80  # ms — small enough for a fast test, large vs clock noise
+    rows = [
+        (f"h{h}.test", f"https://h{h}.test/call/{i}", i * rate, rate)
+        for h in range(3)
+        for i in range(4)
+    ]
+    scheduled = spark.createDataFrame(
+        rows, "hostname string, doc_id string, slot_ms long, effective_rate_ms long"
+    )
+    log = str(tmp_path / "calls.log")
+    open(log, "w").close()
+    out = fetcher.fetch_batch(scheduled, make_recording_transport(log))
+    got = out.collect()
+    assert len(got) == 12 and all(r["spans"] is not None for r in got)
+
+    by_host: dict[str, list[int]] = {}
+    for line in open(log):
+        url, ts = line.rsplit("\t", 1)
+        host = url.split("/")[2]
+        by_host.setdefault(host, []).append(int(ts))
+    assert len(by_host) == 3
+    for host, stamps in by_host.items():
+        stamps.sort()
+        deltas = [b - a for a, b in zip(stamps, stamps[1:])]
+        # sleep() guarantees >= target; allow 5ms for clock/read jitter
+        assert all(d >= rate - 5 for d in deltas), (host, deltas)
+
+    # the audit column tells the same story
+    for r in got:
+        if "call/3" in r["doc_id"]:
+            assert r["sent_at_ms"] >= 3 * rate - 5
+
+
+def test_engine_transport_mode_equals_join_mode(spark, tmp_path):
+    spec = CorpusSpec(n_forges=2, repos_per_forge=25, page_size=10)
+    dfs = corpus_to_spark(spark, make_corpus(spec))
+    settings = dict(host_buckets=4, items_per_api_call=10, rate_ms=1)
+
+    # reference: documents-join mode
+    eng_a = CrawlEngine(spark, str(tmp_path / "wh_join"), CrawlSettings(**settings))
+    eng_a.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_a.run(dfs["documents"])
+
+    # transport mode: bodies served by a corpus-backed transport
+    doc_map = {
+        r["doc_id"]: [s.asDict() for s in r["spans"]]
+        for r in dfs["documents"].collect()
+    }
+    eng_b = CrawlEngine(
+        spark,
+        str(tmp_path / "wh_http"),
+        CrawlSettings(**settings, transport=fetcher.corpus_transport(doc_map)),
+    )
+    eng_b.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_b.run()
+
+    def snap(eng):
+        u = sorted(
+            tuple(r) for r in eng.users.read(spark)
+            .select("hostname", "username", "html_link").collect()
+        )
+        rp = sorted(
+            tuple(r) for r in eng.repositories.read(spark)
+            .select("hostname", "owner", "name", "html_url").collect()
+        )
+        seen = sorted(
+            tuple(r) for r in eng.url_seen.read(spark)
+            .select("key_kind", "hostname", "key1", "key2").collect()
+        )
+        order = sorted(
+            tuple(r) for r in eng.crawl_order().select("seq", "doc_id").collect()
+        )
+        return u, rp, seen, order
+
+    assert snap(eng_a) == snap(eng_b)
+
+
+def test_transport_with_budget_rejected(spark, tmp_path):
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "whb"),
+        CrawlSettings(budget_ms=1000, transport=lambda u: None),
+    )
+    with pytest.raises(NotImplementedError):
+        eng.run()
