@@ -224,7 +224,10 @@ def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dic
     # JVM codegen cache holds ~100 entries — warming all queries up front
     # evicts the early ones).
     per_query: dict[str, float] = {}
-    for name in HEADLINE_QUERIES:
+    # isolation/scaling experiments time the frontier only — the per-query
+    # loop is warm-up noise there (STARCHART_BENCH_SKIP_QUERIES=1)
+    skip_queries = os.environ.get("STARCHART_BENCH_SKIP_QUERIES") == "1"
+    for name in [] if skip_queries else HEADLINE_QUERIES:
         fn, _ = QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()

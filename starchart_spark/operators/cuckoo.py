@@ -78,8 +78,10 @@ class CuckooTable:
                 self.table[i, free[0]] = fp
                 return True
         i = i1 if int(self.rng.integers(2)) == 0 else i2
+        path: list[tuple[int, int]] = []
         for _ in range(MAX_KICKS):
             s = int(self.rng.integers(SLOTS))
+            path.append((i, s))
             fp, self.table[i, s] = int(self.table[i, s]), fp
             i = int(
                 _index2(np.array([i], dtype=np.uint64), np.array([fp], dtype=np.uint16), self.nb)[0]
@@ -88,7 +90,13 @@ class CuckooTable:
             if free.size:
                 self.table[i, free[0]] = fp
                 return True
-        return False  # caller should rebuild larger
+        # failed insert: UNDO the eviction chain in reverse. Without the
+        # rollback the last displaced fingerprint is simply lost — a false
+        # negative for a previously-added key, which a membership filter
+        # must never produce (found by the hypothesis property test).
+        for bi, s in reversed(path):
+            fp, self.table[bi, s] = int(self.table[bi, s]), fp
+        return False  # table unchanged; caller should rebuild larger
 
     def delete(self, h: int) -> bool:
         fp, i1, i2 = self._slots(np.uint64(h))
