@@ -868,6 +868,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     ).select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Approximate top-10 via product quantization with exact rerank
+    (IVFADC refinement): ADC shortlist over m-byte codes, exact cosine on
+    the shortlist. Approximate by design → rows-only check; recall and
+    rerank-exactness asserted in tests/test_pq.py."""
+    from starchart_spark.operators import pq as pq_mod
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_mod.ann_topk_pq(
+        spark, emb, queries, k=10, m=16, ksub=64, rerank=50
+    ).select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 def q_media_type_dispatch(spark, sf_dir):
     """Multimodal: typed dispatch of media refs (extension → modality) — the
     plumbing in operators/multimodal.py over synthesized refs."""
@@ -1075,6 +1089,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cosine_pairs_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_pq_topk": (q_ann_pq_topk, None),
     "media_type_dispatch": (q_media_type_dispatch, SQL_MEDIA_TYPE_DISPATCH),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
