@@ -116,6 +116,16 @@ PENDING = T.StructType(
 )
 
 
+# transport mode: fetched bodies carried for budget-deferred hosts
+BODY_CACHE = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("spans", T.ArrayType(tables.SPAN), True),
+    ]
+)
+
+
 @dataclass
 class CrawlSettings:
     items_per_api_call: int = 20  # config/default.toml:36
@@ -177,6 +187,10 @@ class CrawlEngine:
         self.visit_log = t("visit_log", VISIT_LOG, [])
         self.state = t("state", STATE, ["hostname"])
         self.pending = t("pending", PENDING, [])
+        # transport mode only: bodies already fetched by budget-deferred
+        # hosts (their page + completed topic calls), carried so the
+        # completing batch merges without refetching a single URL
+        self.body_cache = t("body_cache", BODY_CACHE, ["hostname", "doc_id"])
         # persisted per-bucket bloom filters, maintained incrementally
         # (O(new keys) per batch — never rebuilt from the full seen set)
         self.bloom_state = t("bloom_state", bloom_mod.FILTER_SCHEMA, ["host_bucket"])
@@ -326,13 +340,8 @@ class CrawlEngine:
         self._batch_time_s = batch_time_s
         if self.s.transport is not None:
             # real-fetch mode: bodies come from the transport, not the
-            # documents join. Budgeted carryover would need a fetched-body
-            # cache table (a real crawler's response cache) — not wired yet.
-            if self.s.budget_ms is not None:
-                raise NotImplementedError(
-                    "transport mode with a politeness budget needs a "
-                    "fetched-body cache for carried topic rows"
-                )
+            # documents join; budget-deferred hosts carry fetched bodies
+            # in the body_cache table so nothing is ever refetched
             docs = None
         else:
             if documents is None:
@@ -365,7 +374,7 @@ class CrawlEngine:
             docs.unpersist()
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
                     self.lineage, self.visit_log, self.state, self.pending,
-                    self.bloom_state):
+                    self.bloom_state, self.body_cache):
             tbl.expire_snapshots(self.s.snapshot_keep)
         return {"batches": batches, "last_batch_id": batch_id}
 
@@ -468,15 +477,22 @@ class CrawlEngine:
             # wave 1: real page fetches — the page call is always slot 0
             # per host (idx 0). Materialized: a fetch is a side effect and
             # must never re-run when the DAG re-evaluates a branch.
+            # Hosts resuming a partially-fetched page do NOT refetch the
+            # page — its body was cached when the budget first deferred the
+            # host (every URL is fetched exactly once per crawl cycle,
+            # asserted by test_fetcher's call-count test).
             from starchart_spark.crawl import fetcher
 
-            fetched_pages = (
-                fetcher.fetch_batch(
-                    pages.withColumn("slot_ms", F.lit(0).cast("long")), s.transport
-                )
-                .drop("slot_ms", "sent_at_ms")
-                .persist()
+            cache = self.body_cache.read(self.spark)
+            fresh = pages.join(pending_hosts, "hostname", "left_anti")
+            fetched_fresh = fetcher.fetch_batch(
+                fresh.withColumn("slot_ms", F.lit(0).cast("long")), s.transport
+            ).drop("slot_ms", "sent_at_ms")
+            resumed = (
+                pages.join(pending_hosts, "hostname", "left_semi")
+                .join(cache.select("doc_id", "spans"), "doc_id", "left")
             )
+            fetched_pages = fetched_fresh.unionByName(resumed).persist()
             fetched_pages.count()
         else:
             fetched_pages = pages.join(
@@ -553,17 +569,21 @@ class CrawlEngine:
             # wave 2: real topic fetches, honoring the token-bucket slots
             # (slot i·rate relative to the wave start — spacing is always
             # ≥ rate, conservative vs the reference's in-line timeline).
-            # No-budget mode guarantees scheduled ⊇ topic_docs, so every
-            # completing page finds its bodies in this wave.
+            # A completing page's bodies come from this wave PLUS the body
+            # cache (topic rows its host fetched in earlier batches before
+            # the budget deferred it).
             from starchart_spark.crawl import fetcher
 
             fetched_topics = fetcher.fetch_batch(
                 scheduled.filter(F.col("idx_in_page") > 0), s.transport
             ).persist()
             fetched_topics.count()
-            topics_raw = topic_docs.join(
-                fetched_topics.select("doc_id", "spans"), "doc_id", "left"
+            bodies = (
+                fetched_topics.select("doc_id", "spans")
+                .unionByName(cache.select("doc_id", "spans"))
+                .dropDuplicates(["doc_id"])
             )
+            topics_raw = topic_docs.join(bodies, "doc_id", "left")
         else:
             topics_raw = topic_docs.join(
                 docs.select("doc_id", "spans"), "doc_id", "left"
@@ -746,6 +766,19 @@ class CrawlEngine:
         ]
         if bloom_part is not None:
             parts.append((self.bloom_state, bloom_part, "overwrite"))
+        if s.transport is not None:
+            # bodies the still-deferred hosts will need when they complete:
+            # their page body + every topic body fetched so far (this
+            # batch's wave 2 ∪ the prior cache), nothing else
+            new_cache = (
+                fetched_pages.select("hostname", "doc_id", "spans")
+                .unionByName(fetched_topics.select("hostname", "doc_id", "spans"))
+                .unionByName(cache)
+                .filter(F.col("spans").isNotNull())
+                .join(deferred_hosts, "hostname", "left_semi")
+                .dropDuplicates(["hostname", "doc_id"])
+            )
+            parts.append((self.body_cache, new_cache, "overwrite"))
         parts += [
             (self.visit_log, visits, "append"),
             (self.lineage, lineage, "append"),

@@ -114,11 +114,69 @@ def test_engine_transport_mode_equals_join_mode(spark, tmp_path):
     assert snap(eng_a) == snap(eng_b)
 
 
-def test_transport_with_budget_rejected(spark, tmp_path):
-    eng = CrawlEngine(
+def _counting_corpus_transport(doc_map, log_path):
+    """Corpus-backed transport that also appends every fetched URL to a
+    file (workers are separate processes)."""
+
+    def _t(url):
+        with open(log_path, "a") as f:
+            f.write(url + "\n")
+        return doc_map.get(url)
+
+    return _t
+
+
+def test_engine_transport_with_budget_no_refetch(spark, tmp_path):
+    """Budgeted real-fetch crawl: deferred hosts carry their fetched bodies
+    in the body cache, so (a) the end state equals the budgeted join-mode
+    crawl and (b) NO URL is ever fetched twice — resumed pages come from
+    the cache, carried topic rows were fetched when scheduled."""
+    spec = CorpusSpec(n_forges=2, repos_per_forge=25, page_size=10)
+    dfs = corpus_to_spark(spark, make_corpus(spec))
+    # rate 1ms, budget 6ms → page + 5 topic calls per host per batch: every
+    # page defers some of its 10 topic fetches at least once
+    settings = dict(host_buckets=4, items_per_api_call=10, rate_ms=1, budget_ms=6)
+
+    eng_a = CrawlEngine(spark, str(tmp_path / "wh_join_b"), CrawlSettings(**settings))
+    eng_a.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_a.run(dfs["documents"])
+
+    doc_map = {
+        r["doc_id"]: [s.asDict() for s in r["spans"]]
+        for r in dfs["documents"].collect()
+    }
+    log = str(tmp_path / "fetches.log")
+    open(log, "w").close()
+    eng_b = CrawlEngine(
         spark,
-        str(tmp_path / "whb"),
-        CrawlSettings(budget_ms=1000, transport=lambda u: None),
+        str(tmp_path / "wh_http_b"),
+        CrawlSettings(**settings, transport=_counting_corpus_transport(doc_map, log)),
     )
-    with pytest.raises(NotImplementedError):
-        eng.run()
+    eng_b.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_b.run()
+
+    cols_r = ["hostname", "owner", "name", "html_url", "tags"]
+    a_rep = sorted(
+        (r["hostname"], r["owner"], r["name"], r["html_url"], tuple(r["tags"] or []))
+        for r in eng_a.repositories.read(spark).select(*cols_r).collect()
+    )
+    b_rep = sorted(
+        (r["hostname"], r["owner"], r["name"], r["html_url"], tuple(r["tags"] or []))
+        for r in eng_b.repositories.read(spark).select(*cols_r).collect()
+    )
+    assert a_rep == b_rep  # incl. tags: carried topic bodies arrived intact
+    a_vis = sorted(
+        tuple(r) for r in eng_a.visit_log.read(spark)
+        .select("hostname", "page", "idx_in_page", "doc_id").collect()
+    )
+    b_vis = sorted(
+        tuple(r) for r in eng_b.visit_log.read(spark)
+        .select("hostname", "page", "idx_in_page", "doc_id").collect()
+    )
+    assert a_vis == b_vis
+
+    fetched = [ln.strip() for ln in open(log) if ln.strip()]
+    dupes = {u for u in fetched if fetched.count(u) > 1}
+    assert not dupes, f"refetched URLs: {sorted(dupes)[:5]}"
+    # every visit-logged fetch actually happened, exactly once
+    assert sorted(fetched) == sorted(v[3] for v in b_vis)
