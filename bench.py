@@ -117,6 +117,83 @@ def warmup(spark) -> None:
 
 
 def frontier_pipeline(spark, n_urls: int) -> dict:
+    """Fused single-action scheduling pipeline (the production shape).
+
+    canonicalize → hash → bloom probe → keep-first → seen confirm →
+    per-host budget accounting runs as ONE Spark action with no
+    intermediate persists — the staged variant below (STARCHART_BENCH_
+    STAGED=1) materializes each stage for diagnostic timing and pays for
+    the materializations; its per-stage numbers are the decomposition
+    evidence, this fused number is the headline.
+
+    Budget accounting without a global rank: deferred = Σ_host
+    max(0, n_host − k_slots) — identical to counting rank>k rows (ranks
+    within a host are a permutation of 1..n_host). The exact per-row rank
+    assignment for over-budget hosts (skew.ranked_by_host, the two-pass
+    skew-proof ranker) is timed as its own follow-up stage on the hot
+    subset only — at any scale that subset is ~the mega-hosts.
+    """
+    frontier = synth_frontier(spark, n_urls)
+    # pre-seen set (prior crawl cycles) — setup, not part of the measured job
+    seen = (
+        _keyed(frontier.filter(F.col("id") < int(n_urls * SEEN_FRACTION)))
+        .select("key_hash", "host_bucket")
+        .dropDuplicates(["key_hash"])
+        .persist()
+    )
+    seen.count()
+
+    rate_ms = 100
+    budget_ms = 60_000_000
+    k_slots = budget_ms // rate_ms
+
+    stages: dict[str, float] = {}
+    t0 = time.time()
+    filters = bloom_mod.build(seen)
+    probed = bloom_mod.probe_jvm(_keyed(frontier), filters, strategy="broadcast")
+    uniq0 = dedup.keep_first_agg(
+        probed.select("id", "host_key", "key_hash", "maybe_seen"), ["key_hash"], "id"
+    )
+    uniq = dedup.seen_filter(uniq0, seen, ["key_hash"], "maybe_seen").select(
+        "id", "host_key", "key_hash"
+    ).persist()
+    host_counts = uniq.groupBy("host_key").agg(F.count(F.lit(1)).alias("__n"))
+    row = host_counts.agg(
+        F.sum("__n").alias("n"),
+        F.sum(F.greatest(F.col("__n") - k_slots, F.lit(0))).alias("deferred"),
+    ).collect()[0]
+    stages["schedule_one_action"] = round(time.time() - t0, 3)
+    uniq_total = int(row["n"] or 0)
+    n_deferred = int(row["deferred"] or 0)
+    # follow-up: exact per-row ranks for the over-budget (hot) hosts only —
+    # the part of the scheduler that needs a rank cutoff; uniq is cached by
+    # the action above so this times the ranking work itself
+    t1 = time.time()
+    hot_hosts = host_counts.filter(F.col("__n") > k_slots).select("host_key")
+    hot = uniq.join(F.broadcast(hot_hosts), "host_key", "left_semi")
+    ranked = skew.ranked_by_host(hot, "host_key", "id")
+    ranked.agg(
+        F.sum((F.col("host_rank") > k_slots).cast("long")).alias("deferred")
+    ).collect()
+    stages["rank_hot_hosts"] = round(time.time() - t1, 3)
+    elapsed = time.time() - t0
+
+    n_urls_out = n_urls
+    n_scheduled = uniq_total - n_deferred
+    seen.unpersist()
+    uniq.unpersist()
+    return {
+        "n_urls": n_urls_out,
+        "scheduled": n_scheduled,
+        "deferred": n_deferred,
+        "deduped": n_urls_out - n_scheduled - n_deferred,
+        "stages_s": stages,
+        "elapsed_s": round(elapsed, 3),
+        "urls_per_sec": round(n_urls_out / elapsed, 1),
+    }
+
+
+def frontier_pipeline_staged(spark, n_urls: int) -> dict:
     frontier = synth_frontier(spark, n_urls)
     # pre-seen set (prior crawl cycles) — setup, not part of the measured job
     seen = (
@@ -242,7 +319,12 @@ def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dic
     # Reporting the best of N is standard practice for throughput under
     # external interference; every rep is recorded alongside for honesty.
     n_reps = max(1, int(os.environ.get("STARCHART_BENCH_REPS", "3")))
-    reps = [frontier_pipeline(spark, n_urls) for _ in range(n_reps)]
+    pipeline = (
+        frontier_pipeline_staged
+        if os.environ.get("STARCHART_BENCH_STAGED") == "1"
+        else frontier_pipeline
+    )
+    reps = [pipeline(spark, n_urls) for _ in range(n_reps)]
     stats = max(reps, key=lambda s: s["urls_per_sec"])
 
     out = {
