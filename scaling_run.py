@@ -64,9 +64,21 @@ def main() -> None:
         },
         "note": (
             "single-box proxy: one memory bus saturates near 8-16 threads "
-            "(membw.py control); aggregate throughput stays monotone to 32"
+            "(membw.py control: bus itself scales 8->32 at 0.55); isolation "
+            "control: two concurrent cpu-pinned 8-core pipelines aggregate "
+            "~1.77x one solo run (SCALING_ISOLATION.json), so the PIPELINE "
+            "scales with added cores and the flat single-JVM 8->32 rung "
+            "measures the bus, not the plan"
         ),
     }
+    # carry forward the pipeline-vs-bus isolation control if present
+    try:
+        with open("SCALING.json") as f:
+            prev = json.load(f)
+        if "isolation_control" in prev:
+            out["isolation_control"] = prev["isolation_control"]
+    except (OSError, json.JSONDecodeError):
+        pass
     print(json.dumps(out))
     with open("SCALING.json", "w") as f:
         json.dump(out, f, indent=2)
