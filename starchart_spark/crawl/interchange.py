@@ -287,16 +287,15 @@ def import_into_engine(engine, dfs: dict[str, DataFrame], batch_id: int = -1) ->
     """MERGE a parsed foreign tree into an engine's tables with
     imported=true rows; idempotent (D9). Returns inserted counts."""
     out = {}
-    _, f_ins = engine.forges.merge_insert(
-        engine.spark, dfs["forges"], {"op": "import-tar", "batch_id": batch_id}
-    )
-    out["forges"] = f_ins.count()
-    _, u_ins = engine.users.merge_insert(
-        engine.spark, dfs["users"], {"op": "import-tar", "batch_id": batch_id}
-    )
-    out["users"] = u_ins.count()
-    _, r_ins = engine.repositories.merge_insert(
-        engine.spark, dfs["repositories"], {"op": "import-tar", "batch_id": batch_id}
-    )
-    out["repositories"] = r_ins.count()
+    for name, tbl in (
+        ("forges", engine.forges),
+        ("users", engine.users),
+        ("repositories", engine.repositories),
+    ):
+        # one observed-write action per table; the inserted count rides the
+        # snapshot summary, never a separate count() job
+        snap, _ins = tbl.merge_insert(
+            engine.spark, dfs[name], {"op": "import-tar", "batch_id": batch_id}
+        )
+        out[name] = int(snap.summary.get("inserted", 0))
     return out

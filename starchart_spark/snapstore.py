@@ -44,6 +44,18 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _observed_write(df: DataFrame, path: str) -> int:
+    """Write ``df`` to ``path`` with its row count collected as an observed
+    metric ON the write job — one Spark action, no separate count() (the
+    same trick ``multi_commit`` uses; VERDICT r3 "do this" #8 extends it to
+    the standalone merge paths used by init/import/delete flows)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
+    return int(obs.get["n"])
+
+
 def _key_join(left: DataFrame, right: DataFrame, keys: list[str], how: str) -> DataFrame:
     """Semi/anti join on the natural key, NULL-safe (``<=>``): nullable key
     columns (e.g. url_seen.key2 for user keys) must compare equal when both
@@ -234,23 +246,27 @@ class SnapshotTable:
         incoming = df.select(cols).dropDuplicates(self.key_cols)
         existing = self.read(spark)
         fresh = _key_join(incoming, existing, self.key_cols, "left_anti")
-        fresh = fresh.persist()
-        n = fresh.count()
+        # ONE action: the anti-joined rows are written with their count as
+        # an observed metric; an empty result just drops the file again.
+        # The returned rows are read back from the committed file — durable
+        # (a persist() could be evicted and silently recompute the plan).
+        rel = uuid.uuid4().hex
+        full = os.path.join(self._data_dir, rel)
+        n = _observed_write(fresh.select(cols), full)
+        cur = self.current_snapshot()
+        cur_files = cur.data_files if cur else []
         if n == 0:
-            fresh.unpersist()
-            cur = self.current_snapshot()
+            _rmtree(full)
             snap = self._commit(
-                cur.data_files if cur else [],
+                cur_files,
                 {"op": "merge-noop", "ts_ms": _now_ms(), **(summary or {})},
             )
             return snap, spark.createDataFrame([], self.schema)
-        rel = self._write_data_file(fresh)
-        cur = self.current_snapshot()
-        files = (cur.data_files if cur else []) + [rel]
         snap = self._commit(
-            files, {"op": "merge-insert", "inserted": n, "ts_ms": _now_ms(), **(summary or {})}
+            cur_files + [rel],
+            {"op": "merge-insert", "inserted": n, "ts_ms": _now_ms(), **(summary or {})},
         )
-        return snap, fresh
+        return snap, self._read_files(spark, [rel])
 
     def merge_update(
         self, spark: SparkSession, df: DataFrame, summary: dict | None = None
@@ -331,10 +347,16 @@ class SnapshotTable:
         else:
             keep, rewrite, touched = [], None, []
             existing = self.read(spark)
-        deleted = _key_join(existing, keys, self.key_cols, "left_semi").persist()
-        n = deleted.count()
+        deleted = _key_join(existing, keys, self.key_cols, "left_semi")
+        # write the deleted rows to scratch with an observed count (one
+        # action, no count() job); the returned rows read back from disk so
+        # callers (cuckoo eviction) see a durable result, never a replayed
+        # semi-join. Scratch lives outside data/ so snapshot GC ignores it;
+        # expire_snapshots clears it (deletes are consumed immediately).
+        scratch = os.path.join(self.path, "scratch", uuid.uuid4().hex)
+        n = _observed_write(deleted, scratch)
         if n == 0:
-            deleted.unpersist()
+            _rmtree(scratch)
             cur = self.current_snapshot()
             snap = self._commit(
                 cur.data_files if cur else [],
@@ -351,7 +373,7 @@ class SnapshotTable:
             files,
             {"op": "merge-delete", "deleted": n, "ts_ms": _now_ms(), **(summary or {})},
         )
-        return snap, deleted
+        return snap, spark.read.schema(self.schema).parquet(scratch)
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
         """Replace table contents (delete-then-insert, e.g. mini-index import,
@@ -368,6 +390,9 @@ class SnapshotTable:
         to_drop = files[:-keep] if keep else files
         for f in to_drop:
             os.remove(os.path.join(self._snap_dir, f))
+        scratch_root = os.path.join(self.path, "scratch")
+        if os.path.isdir(scratch_root):
+            _rmtree(scratch_root)
         live: set[str] = set()
         for s in self.snapshots():
             live.update(s.data_files)
@@ -439,14 +464,30 @@ def multi_commit(
     ``extra_metrics``: name → aggregate Column over the wide union (may
     reference ``__tbl`` and any wide column). Returns the full observed
     metric dict (``n_<table>`` per part + extras).
+
+    Bucket-pure output: parts whose table has ``bucket_by`` are partitioned
+    by their own bucket expression as well, and each bucket's partition dir
+    is renamed to ``<uuid>.b<k>`` — so micro-batch commits never introduce
+    "mixed" files that would degrade the matched-files-only MERGE/DELETE
+    back toward O(table) (ADVICE r3 #1).
     """
     wide: dict[str, T.DataType] = {}
     names: list[str] = []
-    for tbl, _rows, _op in parts:
+    for tbl, rows, _op in parts:
         name = os.path.basename(tbl.path.rstrip("/"))
         if name in names:
             raise ValueError(f"duplicate table name in multi_commit: {name}")
         names.append(name)
+        # a part's rows must cover its OWN table schema — null-filling is
+        # only for columns belonging to OTHER tables in the wide union
+        # (ADVICE r3 #5: a caller column typo must fail loudly, not commit
+        # null-filled rows into the table)
+        missing = [f.name for f in tbl.schema.fields if f.name not in rows.columns]
+        if missing:
+            raise ValueError(
+                f"multi_commit part '{name}' is missing its own schema "
+                f"columns {missing} (have: {sorted(rows.columns)})"
+            )
         for fld in tbl.schema.fields:
             if fld.name in wide:
                 if wide[fld.name] != fld.dataType:
@@ -464,7 +505,12 @@ def multi_commit(
         sel = [
             (F.col(c) if c in have else F.lit(None).cast(wide[c])).alias(c)
             for c in wide_cols
-        ] + [F.lit(name).alias("__tbl")]
+        ] + [
+            F.lit(name).alias("__tbl"),
+            (tbl._bucket_expr() if tbl.bucket_by is not None else F.lit(-1)).alias(
+                "__pb"
+            ),
+        ]
         piece = rows.select(*sel)
         union = piece if union is None else union.unionByName(piece)
 
@@ -477,28 +523,37 @@ def multi_commit(
     ]
     for k, c in (extra_metrics or {}).items():
         aggs.append(c.alias(k))
-    union.observe(obs, *aggs).write.mode("overwrite").partitionBy("__tbl").parquet(
-        staging_dir
-    )
+    union.observe(obs, *aggs).write.mode("overwrite").partitionBy(
+        "__tbl", "__pb"
+    ).parquet(staging_dir)
     got = dict(obs.get)
 
     for (tbl, _rows, op), name in zip(parts, names):
         n = int(got.get(f"n_{name}") or 0)
         src = os.path.join(staging_dir, f"__tbl={name}")
-        rel: str | None = None
+        rels: list[str] = []
         if n > 0 and os.path.isdir(src):
-            rel = uuid.uuid4().hex
-            os.rename(src, os.path.join(tbl._data_dir, rel))
+            for d in sorted(os.listdir(src)):
+                if not d.startswith("__pb="):
+                    continue
+                k = int(d.split("=", 1)[1])
+                rel = (
+                    f"{uuid.uuid4().hex}.b{k}"
+                    if tbl.bucket_by is not None
+                    else uuid.uuid4().hex
+                )
+                os.rename(os.path.join(src, d), os.path.join(tbl._data_dir, rel))
+                rels.append(rel)
         cur = tbl.current_snapshot()
         cur_files = cur.data_files if cur else []
         if op == "overwrite":
-            files = [rel] if rel else []
+            files = rels
             op_name = "overwrite"
         elif op == "merge-append":
-            files = cur_files + ([rel] if rel else [])
-            op_name = "merge-insert" if rel else "merge-noop"
+            files = cur_files + rels
+            op_name = "merge-insert" if rels else "merge-noop"
         elif op == "append":
-            files = cur_files + ([rel] if rel else [])
+            files = cur_files + rels
             op_name = "append"
         else:
             raise ValueError(f"unknown multi_commit op: {op}")
