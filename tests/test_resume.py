@@ -73,3 +73,17 @@ def test_resume_after_partial_batch_rollback(spark, tmp_path_factory, dfs):
     want_repos = SPEC.n_forges * SPEC.repos_per_forge
     assert eng2.users.read(spark).count() == want_users
     assert eng2.repositories.read(spark).count() == want_repos
+    # exactly-once visit log (ADVICE r3 #2): the resume guard rolled the
+    # tables that were ahead of the state commit back one batch, so the
+    # re-run of the partial batch appends its visit/lineage rows ONCE —
+    # no duplicate (forge, page, idx) rows survive the crash-replay
+    vl = eng2.visit_log.read(spark)
+    assert (
+        vl.count()
+        == vl.select("forge_id", "page", "idx_in_page").distinct().count()
+    )
+    lin = eng2.lineage.read(spark)
+    assert (
+        lin.count()
+        == lin.select("batch_id", "partition_id").distinct().count()
+    )

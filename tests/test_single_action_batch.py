@@ -93,6 +93,51 @@ def test_batch_is_one_action(spark, tmp_path, monkeypatch, dfs):
     assert n_next2 >= 0
 
 
+def test_init_state_is_one_action(spark, tmp_path, monkeypatch, dfs):
+    """init_state commits forges + forge seen keys + the initial state
+    snapshot via ONE multi_commit write — no count()/collect() sync points
+    (VERDICT r3 'do this' #8)."""
+    eng = CrawlEngine(spark, str(tmp_path / "wh_init"), CrawlSettings(**SETTINGS))
+    c = ActionCounter(monkeypatch)
+    eng.init_state(dfs["seed_forges"], dfs["consent"])
+    assert c.writes == 1, f"expected 1 write action for init_state, saw {c.writes}"
+    assert c.counts == 0 and c.collects == 0 and c.to_pandas == 0
+    assert eng.forges.read(spark).count() == 2
+    assert eng.url_seen.read(spark).count() == 2
+    assert eng.state.read(spark).filter(F.col("active")).count() == 2
+
+
+def test_import_into_engine_observed_merges(spark, tmp_path, monkeypatch, dfs):
+    """import_into_engine: one observed-write action per table, zero
+    count() jobs — inserted counts ride the snapshot summaries
+    (VERDICT r3 'do this' #8)."""
+    from starchart_spark import tables
+    from starchart_spark.crawl.interchange import import_into_engine
+
+    eng = CrawlEngine(spark, str(tmp_path / "wh_imp"), CrawlSettings(**SETTINGS))
+    f = spark.createDataFrame(
+        [("https://peer.test/", "gitea", None, None, True, None)], tables.FORGES
+    )
+    u = spark.createDataFrame(
+        [("https://peer.test/", "bot", "https://peer.test/bot", None, True)],
+        tables.USERS,
+    )
+    r = spark.createDataFrame(
+        [("https://peer.test/", "bot", "r1", None, None,
+          "https://peer.test/bot/r1", ["testing"], True)],
+        tables.REPOSITORIES,
+    )
+    c = ActionCounter(monkeypatch)
+    out = import_into_engine(eng, {"forges": f, "users": u, "repositories": r})
+    assert c.writes == 3, f"expected 3 observed writes, saw {c.writes}"
+    assert c.counts == 0 and c.collects == 0 and c.to_pandas == 0
+    assert out == {"forges": 1, "users": 1, "repositories": 1}
+    # idempotent re-import: merge-noops, still no count jobs
+    out2 = import_into_engine(eng, {"forges": f, "users": u, "repositories": r})
+    assert out2 == {"forges": 0, "users": 0, "repositories": 0}
+    assert c.counts == 0 and c.collects == 0
+
+
 def test_observed_active_count_matches_state(spark, tmp_path, dfs):
     """The observed n_active_next metric must equal what a count() of the
     committed state would return — the loop's stop condition depends on it."""
