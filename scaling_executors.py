@@ -33,7 +33,7 @@ CPU_SETS = ["0-1", "8-9", "16-17", "24-25"]
 N_URLS = 50_000_000
 
 
-def launch(cpuset: str, tag: str) -> subprocess.Popen:
+def launch_with(cpuset: str, tag: str, overrides: dict | None = None) -> subprocess.Popen:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS="2",
@@ -44,6 +44,7 @@ def launch(cpuset: str, tag: str) -> subprocess.Popen:
         STARCHART_DRIVER_MEM="12g",
         STARCHART_LOCAL_DIR=f"/dev/shm/spark-ex-{tag}",
     )
+    env.update(overrides or {})
     return subprocess.Popen(
         ["taskset", "-c", cpuset, sys.executable, os.path.join(REPO, "bench.py")],
         stdout=subprocess.PIPE,
@@ -53,14 +54,24 @@ def launch(cpuset: str, tag: str) -> subprocess.Popen:
     )
 
 
+def launch(cpuset: str, tag: str) -> subprocess.Popen:
+    return launch_with(cpuset, tag)
+
+
 def result(proc: subprocess.Popen) -> float:
     out, _ = proc.communicate(timeout=1200)
     line = [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
     return float(json.loads(line)["value"])
 
 
+CPU_SETS_4C = ["0-3", "8-11"]  # the 2×4-core middle rung
+
+
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # 5 reps default (VERDICT r3 "do this" #6: more reps + outlier trim —
+    # round 3's 0.803 median sat 0.003 over the bar with one rep at 0.795)
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    duo_reps = int(os.environ.get("STARCHART_SCALING_DUO_REPS", "2"))
     rows = []
     for rep in range(reps):
         solo = result(launch(CPU_SETS[0], "solo"))
@@ -73,7 +84,29 @@ def main() -> None:
         print(f"rep {rep}: solo={solo:.0f} agg={agg:.0f} eff={eff:.3f}",
               file=sys.stderr)
 
-    med_eff = round(statistics.median(r["efficiency"] for r in rows), 3)
+    # middle rung: N=1 vs 2N=2 pinned 4-core executor JVMs — shows the
+    # efficiency trend between the 1x and 4x points isn't knife-edge
+    duo_rows = []
+    for rep in range(duo_reps):
+        env4 = {"SPARK_GRAFT_CPUS": "4", "STARCHART_DRIVER_MEM": "16g"}
+        solo4 = result(launch_with(CPU_SETS_4C[0], "solo4", env4))
+        duo_procs = [
+            launch_with(cs, f"d{i}", env4) for i, cs in enumerate(CPU_SETS_4C)
+        ]
+        duo = [result(p) for p in duo_procs]
+        agg4 = sum(duo)
+        eff4 = agg4 / (2 * solo4)
+        duo_rows.append({"solo": solo4, "duo": duo, "aggregate": agg4,
+                         "efficiency": round(eff4, 3)})
+        print(f"4c rep {rep}: solo={solo4:.0f} agg={agg4:.0f} eff={eff4:.3f}",
+              file=sys.stderr)
+
+    effs = sorted(r["efficiency"] for r in rows)
+    med_eff = round(statistics.median(effs), 3)
+    # outlier trim: drop the best and worst rep, mean the rest (stable
+    # against a single ambient-burst rep either direction)
+    trimmed = effs[1:-1] if len(effs) >= 3 else effs
+    trim_eff = round(sum(trimmed) / len(trimmed), 3)
     out = {
         "metric": "throughput scaling efficiency, N=1 vs 4N=4 pinned 2-core "
         "executor JVMs (disjoint CPU sets, shared memory bus only)",
@@ -82,6 +115,14 @@ def main() -> None:
         "cpu_sets": CPU_SETS,
         "per_rep": rows,
         "median_efficiency": med_eff,
+        "trimmed_mean_efficiency": trim_eff,
+        "middle_rung_1v2_4core": {
+            "cpu_sets": CPU_SETS_4C,
+            "per_rep": duo_rows,
+            "median_efficiency": round(
+                statistics.median(r["efficiency"] for r in duo_rows), 3
+            ) if duo_rows else None,
+        },
         "target": 0.8,
         "pass": med_eff >= 0.8,
         "note": (

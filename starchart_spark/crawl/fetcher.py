@@ -85,6 +85,74 @@ def fetch_batch(
     return scheduled.groupBy(host_col).applyInPandas(_fetch, out_schema)
 
 
+NODEINFO_PATH = "/api/v1/nodeinfo"  # GITEA_NODEINFO, forge/gitea/src/lib.rs:32
+CLIENT_TIMEOUT_S = 60.0  # CLIENT_TIMEOUT, src/ctx.rs:29 / config/default.toml:37
+
+
+class HttpTransport:
+    """Real HTTP client behind the Transport seam (VERDICT r3 "do this" #7).
+
+    Reference semantics reproduced:
+
+    - **timeout 60 s** on every call (``CLIENT_TIMEOUT`` src/ctx.rs:29,
+      ``crawler.client_timeout`` config/default.toml:37);
+    - **User-Agent** ``{version}---{pkg}---{host}`` where host is this
+      instance's public host (src/ctx.rs:40-55);
+    - **is_forge** probes the Gitea nodeinfo endpoint
+      (``GITEA_NODEINFO`` forge/gitea/src/lib.rs:32) — the reference's impl
+      then returns true unconditionally (lib.rs:62-64); we additionally
+      require the endpoint to answer at all (S2).
+
+    Picklable by construction: only config strings/numbers are instance
+    state; the stdlib urllib client is created per call inside the
+    executor. A GET returning 200 parses the body into the interleaved
+    span shape (default: the whole body as one ``api_json`` span at offset
+    0 — the wire body IS the span payload in this data model; a custom
+    ``parser(url, body) -> spans`` hook covers HTML-to-spans deployments);
+    404 returns None — the engine's missing-page termination sentinel.
+    """
+
+    def __init__(
+        self,
+        instance_host: str,
+        version: str = "0.1.0",
+        pkg: str = "starchart-spark",
+        timeout_s: float = CLIENT_TIMEOUT_S,
+        parser: "Callable[[str, str], list] | None" = None,
+    ):
+        self.user_agent = f"{version}---{pkg}---{instance_host}"
+        self.timeout_s = timeout_s
+        self.parser = parser
+
+    def _get(self, url: str) -> "str | None":
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, headers={"User-Agent": self.user_agent})
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return resp.read().decode("utf-8", errors="replace")
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            raise
+
+    def __call__(self, url: str) -> "list | None":
+        body = self._get(url)
+        if body is None:
+            return None
+        if self.parser is not None:
+            return self.parser(url, body)
+        return [{"kind": "api_json", "text": body, "media_ref": None, "offset": 0}]
+
+    def is_forge(self, instance_url: str) -> bool:
+        """S2 forge probe against the nodeinfo endpoint."""
+        try:
+            return self._get(instance_url.rstrip("/") + NODEINFO_PATH) is not None
+        except Exception:
+            return False
+
+
 def corpus_transport(documents_rows: dict) -> Transport:
     """A transport backed by an in-memory doc_id → spans mapping — the
     sandbox stand-in for a live HTTP client, used to prove the real-fetch

@@ -857,28 +857,37 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """Approximate top-10 via IVF (deterministic k-means-lite coarse
-    quantizer, nprobe bucket search, exact rerank). Approximate by design →
-    rows-only check; recall vs brute force and nprobe=K exhaustive equality
-    asserted in pytest."""
+    """IVF top-10 through the FULL IVF plan (probe selection against the
+    centroid table, bucket join, exact rerank) pinned at nprobe=K — which
+    degenerates to exhaustive search, so the brute-force SQL is an exact
+    oracle and the driver gate covers the plan end to end (VERDICT r3 "do
+    this" #5). Approximate operating points (nprobe < K) are covered by
+    pytest recall tests (tests/test_similarity.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ann_topk_ivf(
-        spark, emb, queries, k=10, n_centroids=16, nprobe=4
+        spark, emb, queries, k=10, n_centroids=16, nprobe=16
     ).select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
 def q_ann_pq_topk(spark, sf_dir):
-    """Approximate top-10 via product quantization with exact rerank
-    (IVFADC refinement): ADC shortlist over m-byte codes, exact cosine on
-    the shortlist. Approximate by design → rows-only check; recall and
-    rerank-exactness asserted in tests/test_pq.py."""
-    from starchart_spark.operators import pq as pq_mod
+    """IVFADC top-10 through a PERSISTED IvfIndex built with PQ (stored
+    books + residual codes, nprobe-bucket ADC, exact rerank — VERDICT r3
+    "do this" #1), pinned at nprobe=K with rerank ≥ corpus so the shortlist
+    covers everything and the exact rerank makes the brute-force SQL an
+    exact oracle over the full IVFADC plan. Approximate operating points
+    (nprobe/rerank small) are covered by pytest (tests/test_ivfpq.py,
+    tests/test_pq.py)."""
+    import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return pq_mod.ann_topk_pq(
-        spark, emb, queries, k=10, m=16, ksub=64, rerank=50
+    idx = similarity.IvfIndex.build(
+        spark, emb, tempfile.mkdtemp(prefix="ivfpq_oracle_"),
+        n_centroids=16, pq_m=16, pq_ksub=64,
+    )
+    return idx.search(
+        spark, queries, k=10, nprobe=16, rerank=10_000_000
     ).select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
@@ -1088,8 +1097,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cosine_pairs": (q_cosine_pairs, SQL_COSINE_PAIRS),
     "cosine_pairs_lsh": (q_cosine_pairs_lsh, SQL_COSINE_PAIRS_LSH),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
-    "ann_pq_topk": (q_ann_pq_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_EMBEDDING_TOPK),
+    "ann_pq_topk": (q_ann_pq_topk, SQL_EMBEDDING_TOPK),
     "media_type_dispatch": (q_media_type_dispatch, SQL_MEDIA_TYPE_DISPATCH),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),

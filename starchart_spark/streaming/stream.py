@@ -129,10 +129,13 @@ FRONTIER_EVENT = T.StructType(
     [
         T.StructField("hostname", T.StringType(), False),
         T.StructField("forge_id", T.LongType(), False),
-        T.StructField("kind", T.StringType(), False),  # visit | drained
+        T.StructField("kind", T.StringType(), False),  # visit | defer | drained
         T.StructField("page", T.IntegerType(), False),
         T.StructField("idx_in_page", T.IntegerType(), False),
         T.StructField("doc_id", T.StringType(), True),  # null for drained
+        # politeness send slot relative to this round's wave start (ms);
+        # null for drained markers
+        T.StructField("slot_ms", T.LongType(), True),
     ]
 )
 
@@ -145,6 +148,14 @@ FRONTIER_STATE = T.StructType(
         # order; the walk only advances through CONTIGUOUS pages, exactly
         # the reference's strictly-sequential per-host page loop
         T.StructField("buffer_json", T.StringType(), False),
+        # fetches of the CURRENT page already emitted in earlier rounds
+        # (budgeted mode: a page may take several rounds, like the batch
+        # engine's pending-carryover)
+        T.StructField("done_in_page", T.IntegerType(), False),
+        # host dimension carried in state so budget-continuation rounds
+        # (which may have no input rows) can still emit
+        T.StructField("forge_id", T.LongType(), True),
+        T.StructField("forge_type", T.StringType(), True),
     ]
 )
 
@@ -191,75 +202,153 @@ def shape_frontier_input(docs_stream: DataFrame, seeds: DataFrame) -> DataFrame:
     return markers.unionByName(repo_rows)
 
 
-def _frontier_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-host page cursor as streaming state — the continuous variant of
-    the batch loop (state = next_page/active, spider.rs:65-122). Arriving
-    page documents buffer by page number; the cursor walks contiguous pages
-    emitting the page visit (idx 0) and, for gitea, one topic visit per
-    repo in page order (S4); a zero-repo page is the A2 sentinel: its
-    visit IS emitted, then the host drains (kind='drained' carries the
-    final next_page for end-state comparison against the batch engine)."""
-    import json
+def make_frontier_fn(rate_ms: int | None = None, budget_ms: int | None = None):
+    """Build the per-host frontier cursor function (the continuous variant
+    of the batch loop, state = next_page/active, spider.rs:65-122).
 
-    if state.exists:
-        next_page, active, buf_json = state.get
-        buffer = json.loads(buf_json)
-    else:
-        next_page, active, buffer = 1, True, {}
-    host = key[0]
-    forge_id = None
-    forge_type = None
-    for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            forge_id = int(r.forge_id)
-            forge_type = r.forge_type
-            ent = buffer.setdefault(str(int(r.page)), {"doc_id": None, "repos": []})
-            if r.is_marker:
-                ent["doc_id"] = r.doc_id
-            else:
-                ent["repos"].append([int(r.idx_in_page), r.owner_username, r.name])
-    rows = []
-    while active:
-        ent = buffer.get(str(next_page))
-        if ent is None or ent["doc_id"] is None:
-            break
-        del buffer[str(next_page)]
-        rows.append((host, forge_id, "visit", next_page, 0, ent["doc_id"]))
-        repos = sorted(ent["repos"])
-        if forge_type == "gitea":  # S4: only gitea needs the topics fetch
-            for idx, owner, name in repos:
-                rows.append(
-                    (host, forge_id, "visit", next_page, idx,
-                     f"https://{host}/api/v1/repos/{owner}/{name}/topics")
-                )
-        if not repos:
-            active = False
-            rows.append((host, forge_id, "drained", next_page, 0, None))
+    Arriving page documents buffer by page number; the cursor walks
+    contiguous pages emitting the page visit (idx 0) and, for gitea, one
+    topic visit per repo in page order (S4); a zero-repo page is the A2
+    sentinel: its visit IS emitted, then the host drains (kind='drained'
+    carries the final next_page for end-state comparison).
+
+    **Politeness + budget parity (VERDICT r3 "do this" #3).** With
+    ``budget_ms`` set, each invocation is one batch-engine micro-batch for
+    this host: fetches get token-bucket slots 0, rate, 2·rate, … and only
+    the ``ceil(budget/rate)`` fetches whose slot < budget are emitted as
+    visits — exactly ``politeness.assign_slots`` + ``split_by_budget``.
+    The remainder of the current page is emitted as ``kind='defer'`` rows
+    (mirror of the batch engine's pending table after that batch, slot ≥
+    budget) and carried in state via ``done_in_page``; like the batch
+    engine, at most ONE page advances per round even when budget remains.
+    Equality of per-round visits AND per-round deferrals with the batch
+    engine under the same (rate, budget) is asserted by
+    tests/test_streaming.py. Reference anchor: the per-host rate sleeps at
+    forge/gitea/src/lib.rs:133-148 inside the daemon loop
+    src/spider.rs:175-223.
+    """
+    import json
+    import math
+
+    budgeted = budget_ms is not None
+    rate = int(rate_ms or 0)
+    cap = None
+    if budgeted and rate > 0:
+        # number of slots i·rate strictly under the budget
+        cap = max(1, math.ceil(budget_ms / rate))
+
+    def _fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        timed_out = bool(getattr(state, "hasTimedOut", False))
+        if state.exists:
+            next_page, active, buf_json, done, forge_id, forge_type = state.get
+            buffer = json.loads(buf_json)
+        elif timed_out:
+            return
         else:
-            next_page += 1
-    state.update((next_page, active, json.dumps(buffer)))
-    if rows:
-        yield pd.DataFrame(
-            rows,
-            columns=["hostname", "forge_id", "kind", "page", "idx_in_page", "doc_id"],
+            next_page, active, buffer, done = 1, True, {}, 0
+            forge_id, forge_type = None, None
+        host = key[0]
+        if not timed_out:
+            for pdf in pdfs:
+                for r in pdf.itertuples(index=False):
+                    forge_id = int(r.forge_id)
+                    forge_type = r.forge_type
+                    ent = buffer.setdefault(
+                        str(int(r.page)), {"doc_id": None, "repos": []}
+                    )
+                    if r.is_marker:
+                        ent["doc_id"] = r.doc_id
+                    else:
+                        ent["repos"].append(
+                            [int(r.idx_in_page), r.owner_username, r.name]
+                        )
+        rows = []
+        while active:
+            ent = buffer.get(str(next_page))
+            if ent is None or ent["doc_id"] is None:
+                break
+            repos = sorted(ent["repos"])
+            fetches = [(0, ent["doc_id"])]
+            if forge_type == "gitea":  # S4: only gitea needs the topics fetch
+                for idx, owner, name in repos:
+                    fetches.append(
+                        (idx, f"https://{host}/api/v1/repos/{owner}/{name}/topics")
+                    )
+            remaining = fetches[done:]
+            take = remaining if cap is None else remaining[:cap]
+            for j, (idx, url) in enumerate(take):
+                rows.append(
+                    (host, forge_id, "visit", next_page, idx, url, j * rate)
+                )
+            if len(take) < len(remaining):
+                # over-budget remainder = the batch engine's pending rows
+                for j, (idx, url) in enumerate(remaining[len(take):]):
+                    rows.append(
+                        (host, forge_id, "defer", next_page, idx, url,
+                         (len(take) + j) * rate)
+                    )
+                done += len(take)
+                break
+            # page complete
+            del buffer[str(next_page)]
+            done = 0
+            if not repos:
+                active = False
+                rows.append((host, forge_id, "drained", next_page, 0, None, None))
+            else:
+                next_page += 1
+                if budgeted:
+                    # one page per round — the batch engine opens the next
+                    # page only in the next micro-batch
+                    break
+        state.update(
+            (next_page, active, json.dumps(buffer), done, forge_id, forge_type)
         )
+        if budgeted and active and (done > 0 or str(next_page) in buffer):
+            # work remains buffered: schedule a continuation round even if
+            # no new documents arrive for this host
+            state.setTimeoutDuration(max(rate, 100))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "hostname", "forge_id", "kind", "page", "idx_in_page",
+                    "doc_id", "slot_ms",
+                ],
+            )
+
+    return _fn
+
+
+# default (unbudgeted) cursor — the original round-3 behavior
+_frontier_fn = make_frontier_fn()
 
 
 def streaming_frontier_scheduler(
-    docs_stream: DataFrame, seeds: DataFrame
+    docs_stream: DataFrame,
+    seeds: DataFrame,
+    rate_ms: int | None = None,
+    budget_ms: int | None = None,
 ) -> DataFrame:
     """The crawl frontier as a continuous stateful stream: page documents
     arrive (in any order, across any micro-batch boundaries), visit events
     leave in the reference's per-host sequential order. Equality with the
     batch engine's visit log / final state on the same corpus is asserted
-    by tests/test_streaming.py."""
+    by tests/test_streaming.py. With ``budget_ms`` set the scheduler also
+    reproduces the batch engine's politeness pacing and budget deferral
+    (see make_frontier_fn); a processing-time timeout drives continuation
+    rounds for hosts whose buffered work outlasts the arriving data."""
     shaped = shape_frontier_input(docs_stream, seeds)
     return shaped.groupBy("hostname").applyInPandasWithState(
-        _frontier_fn,
+        make_frontier_fn(rate_ms, budget_ms),
         outputStructType=FRONTIER_EVENT,
         stateStructType=FRONTIER_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if budget_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -180,3 +180,107 @@ def test_engine_transport_with_budget_no_refetch(spark, tmp_path):
     assert not dupes, f"refetched URLs: {sorted(dupes)[:5]}"
     # every visit-logged fetch actually happened, exactly once
     assert sorted(fetched) == sorted(v[3] for v in b_vis)
+
+
+# -- real HTTP transport (VERDICT r3 "do this" #7) ---------------------------
+
+
+@pytest.fixture()
+def http_srv():
+    """Local HTTP fixture: records request UA/paths; /missing* → 404,
+    /slow* → 2 s delay, everything else → 200 JSON body."""
+    import http.server
+    import json
+    import threading
+    import time
+
+    seen = {"ua": None, "paths": []}
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            seen["ua"] = self.headers.get("User-Agent")
+            seen["paths"].append(self.path)
+            if self.path.startswith("/missing"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            if self.path.startswith("/slow"):
+                time.sleep(2)
+            body = json.dumps({"ok": True, "path": self.path}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv, seen
+    srv.shutdown()
+
+
+def test_http_transport_ua_and_spans(http_srv):
+    """UA is the reference's {version}---{pkg}---{host} (src/ctx.rs:40-55);
+    a 200 body lands as one api_json span at offset 0."""
+    from starchart_spark.crawl.fetcher import HttpTransport
+
+    srv, seen = http_srv
+    port = srv.server_address[1]
+    t = HttpTransport("me.example:8080", version="1.2.3", pkg="starchart-spark")
+    spans = t(f"http://127.0.0.1:{port}/api/v1/repos/search?page=1")
+    assert seen["ua"] == "1.2.3---starchart-spark---me.example:8080"
+    assert len(spans) == 1
+    s = spans[0]
+    assert s["kind"] == "api_json" and s["offset"] == 0
+    assert '"ok": true' in s["text"]
+
+
+def test_http_transport_404_is_sentinel(http_srv):
+    from starchart_spark.crawl.fetcher import HttpTransport
+
+    srv, _ = http_srv
+    port = srv.server_address[1]
+    t = HttpTransport("me.example")
+    assert t(f"http://127.0.0.1:{port}/missing/page") is None
+
+
+def test_http_transport_nodeinfo_probe(http_srv):
+    """S2: is_forge probes GITEA_NODEINFO (forge/gitea/src/lib.rs:32);
+    unreachable host → False, answering host → True."""
+    from starchart_spark.crawl.fetcher import HttpTransport, NODEINFO_PATH
+
+    srv, seen = http_srv
+    port = srv.server_address[1]
+    t = HttpTransport("me.example")
+    assert t.is_forge(f"http://127.0.0.1:{port}/")
+    assert seen["paths"][-1] == NODEINFO_PATH
+    # closed port: probe is False, never raises
+    assert not t.is_forge("http://127.0.0.1:1/")
+
+
+def test_http_transport_timeout_enforced(http_srv):
+    """client_timeout semantics (src/ctx.rs:29): a response slower than the
+    configured timeout raises instead of hanging the politeness schedule."""
+    from starchart_spark.crawl.fetcher import CLIENT_TIMEOUT_S, HttpTransport
+
+    srv, _ = http_srv
+    port = srv.server_address[1]
+    assert CLIENT_TIMEOUT_S == 60.0  # reference default
+    t = HttpTransport("me.example", timeout_s=0.5)
+    with pytest.raises(Exception):
+        t(f"http://127.0.0.1:{port}/slow")
+
+
+def test_http_transport_picklable():
+    """The transport crosses the driver→executor boundary by pickle."""
+    import pickle
+
+    from starchart_spark.crawl.fetcher import HttpTransport
+
+    t = HttpTransport("me.example:8080", parser=None)
+    t2 = pickle.loads(pickle.dumps(t))
+    assert t2.user_agent == t.user_agent and t2.timeout_s == t.timeout_s
