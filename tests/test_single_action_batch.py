@@ -138,6 +138,41 @@ def test_import_into_engine_observed_merges(spark, tmp_path, monkeypatch, dfs):
     assert c.counts == 0 and c.collects == 0
 
 
+def test_bloom_engaged_equals_exact_path(spark, tmp_path, dfs):
+    """The bloom layer must never change an answer, only cost: a run with
+    the filter FORCED on (bloom_min_keys=0) ends bit-identical to the
+    default run (threshold-disengaged at this tiny scale), the filter
+    table advances with the batches, and probing the final filters finds
+    every committed seen key — the end-to-end no-false-negative guard that
+    caught round 3's user-key KEY_SEP bug."""
+    from starchart_spark.operators import bloom as bloom_mod
+
+    eng_a = CrawlEngine(spark, str(tmp_path / "wh_bl_a"), CrawlSettings(**SETTINGS))
+    eng_a.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_a.run(dfs["documents"])
+    eng_b = CrawlEngine(
+        spark, str(tmp_path / "wh_bl_b"),
+        CrawlSettings(**SETTINGS, bloom_min_keys=0),
+    )
+    eng_b.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_b.run(dfs["documents"])
+
+    for ta, tb, cols in (
+        (eng_a.users, eng_b.users, ["hostname", "username", "html_link"]),
+        (eng_a.repositories, eng_b.repositories,
+         ["hostname", "owner", "name", "html_url"]),
+        (eng_a.url_seen, eng_b.url_seen,
+         ["key_kind", "hostname", "key1", "key2", "key_hash"]),
+    ):
+        a = sorted(tuple(r) for r in ta.read(spark).select(*cols).collect())
+        b = sorted(tuple(r) for r in tb.read(spark).select(*cols).collect())
+        assert a == b
+    assert eng_b.bloom_state.current_snapshot().summary.get("batch_id") is not None
+    seen = eng_b.url_seen.read(spark)
+    probed = bloom_mod.probe_jvm(seen, eng_b.bloom_state.read(spark))
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_observed_active_count_matches_state(spark, tmp_path, dfs):
     """The observed n_active_next metric must equal what a count() of the
     committed state would return — the loop's stop condition depends on it."""
