@@ -212,3 +212,61 @@ def test_partition_aware_merge_delete(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
     assert got["zz1"] == 5 and got["zz2"] == 2
+
+
+def test_multi_commit_rejects_missing_own_column(spark, tmp_path):
+    """A part missing one of its OWN table's schema columns must raise —
+    never commit null-filled rows into the table (ADVICE r3 #5)."""
+    from starchart_spark.snapstore import multi_commit
+
+    ta = SnapshotTable(str(tmp_path / "va"), SCHEMA, ["k"])
+    bad_rows = spark.createDataFrame([("a",)], "k string")  # no 'v'
+    with pytest.raises(ValueError, match="missing its own schema"):
+        multi_commit(
+            spark, str(tmp_path / "_st3"), [(ta, bad_rows, "append")]
+        )
+
+
+def test_multi_commit_bucket_pure_files(spark, tmp_path):
+    """multi_commit output for bucket_by tables is bucket-pure (<uuid>.b<k>
+    names), so later matched-files-only MERGE/DELETE never reclassifies
+    commit output as mixed/rewrite-everything (ADVICE r3 #1)."""
+    from pyspark.sql import functions as F
+
+    from starchart_spark.functions.urls import host_bucket
+    from starchart_spark.snapstore import multi_commit
+
+    tbl = SnapshotTable(
+        str(tmp_path / "mb"), BUCKETED, ["k"], bucket_by=("host_bucket", 4)
+    )
+    rows = spark.range(0, 40).select(
+        F.concat(F.lit("key"), F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+        host_bucket(F.concat(F.lit("key"), F.col("id")), 4).alias("host_bucket"),
+    )
+    multi_commit(spark, str(tmp_path / "_st4"), [(tbl, rows, "merge-append")])
+    snap = tbl.current_snapshot()
+    assert snap.data_files, "commit produced no files"
+    assert all(tbl._file_bucket(f) is not None for f in snap.data_files)
+    assert tbl.read(spark).count() == 40
+    # touching one bucket keeps every other commit file verbatim
+    one = rows.filter(F.col("host_bucket") == 2).limit(1).withColumn(
+        "v", F.lit(123).cast("long")
+    )
+    tbl.merge_update(spark, one)
+    untouched = {f for f in snap.data_files if tbl._file_bucket(f) != 2}
+    assert untouched <= set(tbl.current_snapshot().data_files)
+
+
+def test_merge_delete_returns_durable_rows(spark, tmp_path):
+    """merge_delete's returned rows are file-backed: reading them after the
+    table moved on replays nothing and still shows the deleted keys."""
+    tbl = SnapshotTable(str(tmp_path / "md"), SCHEMA, ["k"])
+    tbl.merge_insert(spark, spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+    _, deleted = tbl.merge_delete(
+        spark, spark.createDataFrame([("a", 0)], SCHEMA)
+    )
+    # mutate the table after the delete; the handle must still read 'a'
+    tbl.merge_insert(spark, spark.createDataFrame([("c", 3)], SCHEMA))
+    got = [r["k"] for r in deleted.collect()]
+    assert got == ["a"]
