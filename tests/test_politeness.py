@@ -104,3 +104,18 @@ def test_sliding_limiter(spark):
     out = politeness.sliding_limiter(df, "peer", "ts")
     assert out.filter((F.col("peer") == "p1") & F.col("over_limit")).count() > 0
     assert out.filter((F.col("peer") == "p2") & F.col("over_limit")).count() == 0
+
+
+def test_budget_capacity_closed_form():
+    """The streaming cursor's per-round capacity (ceil(budget/rate)) must
+    equal the batch engine's split_by_budget on token-bucket slots
+    (count of i with i*rate < budget) for any positive rate/budget —
+    the invariant the stream/batch deferral parity rests on."""
+    import math
+
+    for rate in (1, 2, 3, 7, 100, 999, 1000, 2000):
+        for budget in (1, 2, 3, 500, 999, 1000, 1001, 2000, 3500, 10**6):
+            bound = budget // rate + 2
+            want = sum(1 for i in range(bound) if i * rate < budget)
+            got = max(1, math.ceil(budget / rate))
+            assert got == want, (rate, budget, got, want)
