@@ -173,6 +173,31 @@ def test_bloom_engaged_equals_exact_path(spark, tmp_path, dfs):
     assert probed.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_bloom_threshold_crossing_midrun(spark, tmp_path, dfs):
+    """Crossing bloom_min_keys mid-run engages the filter layer: the
+    driver-side counter (startup count + observed inserts) flips engaged,
+    _ensure_bloom rebuilds once from url_seen, and from then on the filter
+    table tracks every batch — ending current with the last batch and
+    probing positive for every committed key."""
+    from starchart_spark.operators import bloom as bloom_mod
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "wh_cross"),
+        CrawlSettings(**SETTINGS, bloom_min_keys=30),
+    )
+    eng.init_state(dfs["seed_forges"], dfs["consent"])
+    eng.run(dfs["documents"])  # seen grows 2 → 64, crossing 30 mid-run
+    assert eng._seen_total == eng.url_seen.read(spark).count()
+    assert eng._seen_total > 30
+    snap = eng.bloom_state.current_snapshot()
+    assert snap is not None
+    assert snap.summary.get("batch_id") == eng._last_batch_id()
+    probed = bloom_mod.probe_jvm(
+        eng.url_seen.read(spark), eng.bloom_state.read(spark)
+    )
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
 def test_observed_active_count_matches_state(spark, tmp_path, dfs):
     """The observed n_active_next metric must equal what a count() of the
     committed state would return — the loop's stop condition depends on it."""

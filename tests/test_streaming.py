@@ -229,3 +229,57 @@ def test_streaming_budget_deferral_equals_batch_engine(spark, tmp_path):
     for rnd in pend_by_round:
         assert stream_defers.get(rnd, set()) == pend_by_round[rnd], rnd
     assert stream_state == batch_state
+
+
+def test_streaming_budget_real_stream_drains(spark, tmp_path):
+    """Real-stream smoke of budgeted mode: all documents arrive in the
+    FIRST micro-batch; the host's remaining work must drain through
+    processing-time TIMEOUT continuation rounds (no new data ever arrives),
+    visiting every fetch exactly once and emitting the drained marker."""
+    import time
+
+    spec = CorpusSpec(n_forges=1, repos_per_forge=6, page_size=6)
+    dfs = corpus_to_spark(spark, make_corpus(spec))
+    src = str(tmp_path / "budget_src")
+    dfs["documents"].select("doc_id", "spans", "hostname").write.parquet(src)
+    seeds = (
+        dfs["documents"].select("hostname").distinct()
+        .select(
+            "hostname",
+            F.lit(1).cast("long").alias("forge_id"),
+            F.lit("gitea").alias("forge_type"),
+        )
+    )
+    docs_stream = (
+        spark.readStream.schema(stream.DOC_STREAM_SCHEMA).parquet(src)
+    )
+    events = stream.streaming_frontier_scheduler(
+        docs_stream, seeds, rate_ms=100, budget_ms=250  # 3 fetch slots/round
+    )
+    q = (
+        events.writeStream.format("memory")
+        .queryName("budget_events")
+        .option("checkpointLocation", str(tmp_path / "budget_ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        drained = 0
+        while time.time() < deadline and drained < 1:
+            drained = spark.sql(
+                "select count(*) from budget_events where kind='drained'"
+            ).collect()[0][0]
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert drained == 1, "host did not drain via timeout continuation"
+    visits = sorted(
+        (r["page"], r["idx_in_page"])
+        for r in spark.sql(
+            "select page, idx_in_page from budget_events where kind='visit'"
+        ).collect()
+    )
+    # page 1: page fetch + 6 topics; page 2: sentinel fetch — each ONCE
+    assert visits == [(1, i) for i in range(7)] + [(2, 0)]
