@@ -284,3 +284,92 @@ def test_http_transport_picklable():
     t = HttpTransport("me.example:8080", parser=None)
     t2 = pickle.loads(pickle.dumps(t))
     assert t2.user_agent == t.user_agent and t2.timeout_s == t.timeout_s
+
+
+def test_engine_e2e_over_http_transport(spark, tmp_path):
+    """Full crawl through the REAL HttpTransport: a local HTTP server
+    serves the corpus bodies (404 for missing pages — the termination
+    sentinel travels over the wire), the engine runs in transport mode
+    hitting it, and the final users/repositories/url_seen/crawl-order
+    equal the documents-join reference run. Also asserts the reference UA
+    reached the server on every request."""
+    import http.server
+    import json as _json
+    import threading
+    import urllib.parse
+
+    spec = CorpusSpec(n_forges=2, repos_per_forge=10, page_size=5)
+    dfs = corpus_to_spark(spark, make_corpus(spec))
+    settings = dict(host_buckets=4, items_per_api_call=5, rate_ms=1)
+
+    # reference: documents-join mode
+    eng_a = CrawlEngine(spark, str(tmp_path / "wh_ref"), CrawlSettings(**settings))
+    eng_a.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_a.run(dfs["documents"])
+
+    # corpus served over HTTP: GET /fetch?url=<quoted original url>
+    doc_map = {
+        r["doc_id"]: [s.asDict() for s in r["spans"]]
+        for r in dfs["documents"].collect()
+    }
+    uas = set()
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            uas.add(self.headers.get("User-Agent"))
+            q = urllib.parse.urlparse(self.path).query
+            url = urllib.parse.parse_qs(q).get("url", [""])[0]
+            spans = doc_map.get(url)
+            if spans is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = _json.dumps(spans).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+
+    # the real client with the reference UA + a spans-JSON parser; the
+    # closure maps forge URLs onto the local fixture (cloudpickle ships it
+    # by value into the Python workers, which reach the server over TCP)
+    http_t = fetcher.HttpTransport(
+        "me.example:3000", version="9.9.9",
+        parser=lambda _u, body: __import__("json").loads(body),
+    )
+    base = f"http://127.0.0.1:{port}/fetch?url="
+
+    def transport(url):
+        return http_t(base + urllib.parse.quote(url, safe=""))
+
+    eng_b = CrawlEngine(
+        spark, str(tmp_path / "wh_httpd"),
+        CrawlSettings(**settings, transport=transport),
+    )
+    eng_b.init_state(dfs["seed_forges"], dfs["consent"])
+    eng_b.run()
+    srv.shutdown()
+
+    def snap(eng):
+        u = sorted(
+            tuple(r) for r in eng.users.read(spark)
+            .select("hostname", "username", "html_link").collect()
+        )
+        rp = sorted(
+            tuple(r) for r in eng.repositories.read(spark)
+            .select("hostname", "owner", "name", "html_url").collect()
+        )
+        order = sorted(
+            tuple(r) for r in eng.crawl_order().select("seq", "doc_id").collect()
+        )
+        return u, rp, order
+
+    assert snap(eng_a) == snap(eng_b)
+    assert uas == {"9.9.9---starchart-spark---me.example:3000"}
