@@ -524,13 +524,22 @@ def _ivf_pq_search(
     rerank: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVFADC search (Jégou/Douze/Schmid TPAMI 2011): probe selection
     against the tiny centroid table, ADC scoring of ONLY the nprobe
     buckets' m-byte codes (score = q·centroid + Σ residual-LUT gathers),
     exact rerank of the top-``rerank`` shortlist against the raw vectors.
     Reported sims are exact (PQ only bounds which candidates are seen);
-    the query set stays a DataFrame end to end — no driver collect."""
+    the query set stays a DataFrame end to end — no driver collect.
+
+    ``broadcast_probes``: the probe rows (q_id, vq, cid, qc — nprobe per
+    query) broadcast by default, the right topology when the query set is
+    cluster-bounded but executor-memory-small. For massive query
+    workloads pass False: the probe-candidate join shuffles on ``cid``
+    instead (the assignment table is already bucketed by cid on disk, so
+    at scale this is a co-partitioned join), with identical results —
+    asserted in tests/test_ivfpq.py."""
     from starchart_spark.operators import pq as pq_mod
 
     qn = queries.select(
@@ -555,8 +564,9 @@ def _ivf_pq_search(
         .filter(F.col("cr") <= nprobe)
         .select("q_id", "vq", "cid", "qc")
     )
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
     cand = (
-        F.broadcast(probes)
+        probe_side
         .join(assign_df.select("cid", "vec_id", "codes"), "cid")
         .filter(F.col("q_id") != F.col("vec_id"))
     )
@@ -713,10 +723,13 @@ class IvfIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         rerank: int = 50,
+        broadcast_probes: bool = True,
     ) -> DataFrame:
         """With PQ books stored, IVFADC (ADC over nprobe buckets' codes +
         exact rerank of the ``rerank`` shortlist); otherwise the plain IVF
-        plan (exact scoring of the nprobe buckets' raw vectors)."""
+        plan (exact scoring of the nprobe buckets' raw vectors).
+        ``broadcast_probes=False`` shuffles the probe join on cid instead
+        (massive-query-set topology; identical results)."""
         if self.has_pq() and rerank > 0:
             return _ivf_pq_search(
                 spark,
@@ -729,6 +742,7 @@ class IvfIndex:
                 rerank,
                 id_col,
                 vec_col,
+                broadcast_probes,
             )
         return _ivf_search(
             spark,

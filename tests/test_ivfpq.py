@@ -167,3 +167,15 @@ def test_flat_pq_search_no_query_collect(spark, emb, monkeypatch):
     monkeypatch.setattr(DataFrame, "toPandas", boom)
     plan = pq.pq_search(spark, codes, queries, books, k=3)
     assert plan.count() > 0
+
+
+def test_ivfpq_shuffle_probe_join_equals_broadcast(spark, emb, idx):
+    """The massive-query-set topology (probe join shuffled on cid instead
+    of broadcasting the probes) returns identical results."""
+    queries = emb.filter(F.col("vec_id") < 4)
+    a = _keyset(idx.search(spark, queries, k=5, nprobe=4, rerank=30))
+    b = _keyset(
+        idx.search(spark, queries, k=5, nprobe=4, rerank=30,
+                   broadcast_probes=False)
+    )
+    assert a == b
