@@ -159,6 +159,19 @@ class CrawlSettings:
     # materialized (side effects must never re-run), so the one-action-per-
     # batch contract applies to the default mode only.
     transport: object | None = None
+    # plan compaction (round-5 cadence work): eagerly localCheckpoint the
+    # deep parse/schedule intermediates so every downstream branch of the
+    # commit DAG references a shallow scan instead of re-embedding the full
+    # parse plan. Round-5 jobdump evidence: per-batch wall-clock at toy
+    # scale is DRIVER time — a ~4 s Catalyst analysis gap before the first
+    # commit job plus 0.3-1 s AQE re-optimization gaps between stages, all
+    # proportional to logical-plan size, while the jobs themselves run in
+    # <0.2 s. Checkpointing trades ~3 tiny materialization jobs for an
+    # O(plan-size) cut in that driver time. Costs lineage: a lost
+    # checkpoint block fails the batch instead of recomputing — the right
+    # trade for a perpetual small-batch daemon, the wrong one for huge
+    # one-shot batches, hence the switch.
+    compact_plans: bool = True
 
 
 class CrawlEngine:
@@ -335,9 +348,18 @@ class CrawlEngine:
                 tbl.rollback(cur.parent_id if cur.parent_id is not None else 0)
 
     def _last_batch_id(self) -> int:
-        snap = self.lineage.current_snapshot()
-        if snap is None:
+        """Max committed batch_id — metadata-only: every batch commit stamps
+        its batch_id into the snapshot summary (the rollback guard already
+        relies on this), and lineage batch_ids are monotone, so walking the
+        snapshot log backwards replaces the old full-table max() scan
+        (VERDICT r4 "do this" #8). Scan fallback only for summaries from
+        non-batch ops (init/import)."""
+        if self.lineage.current_snapshot() is None:
             return 0
+        for snap in reversed(self.lineage.snapshots()):
+            b = snap.summary.get("batch_id")
+            if isinstance(b, int):
+                return b
         df = self.lineage.read(self.spark)
         row = df.agg(F.max("batch_id").alias("m")).collect()[0]
         return int(row["m"]) if row["m"] is not None else 0
@@ -472,26 +494,30 @@ class CrawlEngine:
         """P3 crawl-cycle TTL: drained hosts whose last crawl is at least
         ``ttl_s`` old re-enter the frontier at page 1 (the reference sleeps
         ttl then restarts its page counter, src/spider.rs:192-202 +
-        config/default.toml:35). Returns the number of reactivated hosts."""
+        config/default.toml:35). Returns the number of reactivated hosts.
+
+        ONE Spark action (VERDICT r4 "do this" #8): the due-count rides the
+        overwrite's write job as an observed metric; a nothing-due wake —
+        the common case for a perpetual daemon — discards the staged file
+        and commits nothing, so the old count()-then-maybe-overwrite pair
+        collapses without snapshot churn."""
         st = self.state.read(self.spark)
         due = (
             (~F.col("active"))
             & F.col("last_crawl_on").isNotNull()
             & (F.lit(now_s) - F.col("last_crawl_on") >= F.lit(self.s.ttl_s))
         )
-        n_due = st.filter(due).count()
-        if n_due == 0:
-            return 0
-        self.state.overwrite(
+        return self.state.overwrite_if(
             st.select(
                 "forge_id", "hostname", "forge_url", "forge_type",
                 F.when(due, F.lit(1)).otherwise(F.col("next_page")).alias("next_page"),
                 F.when(due, F.lit(True)).otherwise(F.col("active")).alias("active"),
                 "effective_rate_ms", "host_bucket", "last_crawl_on",
+                due.alias("_due"),
             ),
-            {"op": "reactivate", "now_s": now_s, "n": n_due},
+            F.sum(F.col("_due").cast("long")).alias("n"),
+            {"op": "reactivate", "now_s": now_s},
         )
-        return n_due
 
     # -- one micro-batch -----------------------------------------------------------
 
@@ -622,6 +648,14 @@ class CrawlEngine:
             "host_bucket",
         )
         repo_rows = parsed.join(meta, "doc_id")
+        if s.compact_plans:
+            # materialize the parse ONCE and cut its lineage: every branch
+            # of the commit DAG (topics, politeness, entities, lineage,
+            # termination) otherwise re-embeds the full from_json parse
+            # plan, and at micro-batch cadence the driver's plan
+            # analysis/AQE re-optimization over that depth IS the
+            # wall-clock (see CrawlSettings.compact_plans)
+            repo_rows = repo_rows.localCheckpoint(eager=True)
 
         # 3. politeness: fetch list = page fetch (idx 0) + one topics call per
         # repo in page order (P1: ≥rate between calls within a host). Only
@@ -711,6 +745,10 @@ class CrawlEngine:
                 "doc_id", "hostname", "spans"
             )
         )
+        if s.compact_plans:
+            # same trade as repo_rows: one tiny job now, a shallow scan in
+            # every downstream reference of the topics parse
+            topics = topics.localCheckpoint(eager=True)
 
         # 5. normalize + in-batch dedup. Lazy persists: these plans feed
         # several branches of the single commit DAG (entity insert, seen
@@ -719,9 +757,6 @@ class CrawlEngine:
         # parse→normalize→dedup pipeline once per branch. All persists are
         # lazy — the batch still triggers exactly ONE action.
         user_cands = normalize.normalize_users(sched_repo_rows)
-        user_first = dedup.keep_first(
-            user_cands, ["hostname", "username"], ["page", "idx_in_page"]
-        ).persist()
         repo_cands = normalize.normalize_repositories(sched_repo_rows, topics).persist()
 
         # 6. seen filter (bloom prefilter when engaged + exact anti-join)
@@ -743,53 +778,75 @@ class CrawlEngine:
         else:
             bloom_filters = None
 
-        u_keyed = (
-            user_first.withColumn("key_kind", F.lit("user"))
-            .withColumn("key1", F.col("username"))
-            .withColumn("key2", F.lit(None).cast("string"))
-            .withColumn(
-                "key_hash",
-                url_hash(F.concat_ws(KEY_SEP, "key_kind", "hostname", "key1", "key2")),
+        # Unified entity pass (VERDICT r4 "do this" #1): users and repos
+        # ride ONE key_kind-discriminated stream through ONE keep-first,
+        # ONE bloom probe, ONE url_seen anti-join and ONE entity confirm
+        # anti-join (the round-4 shape ran the whole ladder twice — 8-10
+        # extra AQE stages, the per-batch cadence floor). The unified
+        # keep-first key (key_kind, hostname, key1, key2) is exactly the
+        # per-kind keys — user (hostname, username), repo (hostname,
+        # owner, name) — because key_kind discriminates, and window
+        # partitioning groups NULL key2 values correctly.
+        def _keyed(df: DataFrame, kind: str, key1: str, key2: str | None) -> DataFrame:
+            return (
+                df.withColumn("key_kind", F.lit(kind))
+                .withColumn("key1", F.col(key1))
+                .withColumn(
+                    "key2",
+                    F.col(key2) if key2 else F.lit(None).cast("string"),
+                )
+                .withColumn(
+                    "key_hash",
+                    url_hash(
+                        F.concat_ws(KEY_SEP, "key_kind", "hostname", "key1", "key2")
+                    ),
+                )
+                .withColumn("host_bucket", self._bucket("hostname"))
             )
-            .withColumn("host_bucket", self._bucket("hostname"))
+
+        ukey_cols = ["key_kind", "hostname", "key1", "key2"]
+        cands_keyed = _keyed(user_cands, "user", "username", None).unionByName(
+            _keyed(repo_cands, "repo", "name", "owner"), allowMissingColumns=True
         )
+        first = dedup.keep_first(
+            cands_keyed, ukey_cols, ["page", "idx_in_page"]
+        ).persist()
         # new vs url_seen (crawl semantics) ...
-        u_new = self._new_against_seen(u_keyed, bloom_filters).persist()
-        # ... and vs the entity table itself (kill-replay idempotency: a
-        # crash after the users commit but before url_seen's replays this
-        # batch; this anti-join suppresses the double insert while the seen
-        # keys — derived from u_new, NOT u_ins — still land, so both tables
-        # converge whichever side of the commit sequence the crash fell on)
-        u_ins = _key_join(
-            u_new.select(*[f.name for f in tables.USERS.fields]),
-            self.users.read(self.spark),
-            ["hostname", "username"],
-            "left_anti",
-        ).select(*[f.name for f in tables.USERS.fields])
+        new_keys = self._new_against_seen(first, bloom_filters).persist()
+        # ... and vs the entity tables themselves (kill-replay idempotency:
+        # a crash after the entity commit but before url_seen's replays
+        # this batch; this anti-join suppresses the double insert while the
+        # seen keys — derived from new_keys, NOT the confirmed inserts —
+        # still land, so both tables converge whichever side of the commit
+        # sequence the crash fell on). Both entity tables project to the
+        # same key shape, so ONE NULL-safe anti-join confirms both kinds.
+        entity_keys = (
+            self.users.read(self.spark)
+            .select(
+                F.lit("user").alias("key_kind"),
+                "hostname",
+                F.col("username").alias("key1"),
+                F.lit(None).cast("string").alias("key2"),
+            )
+            .unionByName(
+                self.repositories.read(self.spark).select(
+                    F.lit("repo").alias("key_kind"),
+                    "hostname",
+                    F.col("name").alias("key1"),
+                    F.col("owner").alias("key2"),
+                )
+            )
+        )
+        confirmed = _key_join(new_keys, entity_keys, ukey_cols, "left_anti").persist()
+        u_ins = confirmed.filter(F.col("key_kind") == "user").select(
+            *[f.name for f in tables.USERS.fields]
+        )
+        r_ins = confirmed.filter(F.col("key_kind") == "repo").select(
+            *[f.name for f in tables.REPOSITORIES.fields]
+        )
         # reuse the PROBED hash instance — the stored seen key is, by
         # construction, the exact value the bloom layer was probed with
-        u_seen_rows = u_new.select(*[f.name for f in tables.URL_SEEN.fields])
-
-        rkeys_df = repo_cands.withColumn("key_kind", F.lit("repo")).withColumn(
-            "key1", F.col("name")
-        ).withColumn("key2", F.col("owner")).withColumn(
-            "key_hash",
-            url_hash(F.concat_ws(KEY_SEP, "key_kind", "hostname", "key1", "key2")),
-        ).withColumn("host_bucket", self._bucket("hostname"))
-        r_new = dedup.keep_first(
-            self._new_against_seen(rkeys_df, bloom_filters),
-            ["hostname", "owner", "name"],
-            ["page", "idx_in_page"],
-        ).persist()
-        r_ins = _key_join(
-            r_new.select(*[f.name for f in tables.REPOSITORIES.fields]),
-            self.repositories.read(self.spark),
-            ["hostname", "owner", "name"],
-            "left_anti",
-        ).select(*[f.name for f in tables.REPOSITORIES.fields])
-        r_seen_rows = r_new.select(*[f.name for f in tables.URL_SEEN.fields])
-
-        seen_rows = u_seen_rows.unionByName(r_seen_rows)
+        seen_rows = new_keys.select(*[f.name for f in tables.URL_SEEN.fields])
         # bloom maintenance in the same DAG: OR this batch's new keys into
         # their buckets (O(new keys)); the overfull probe is an observed
         # metric, so the (rare) per-bucket rebuild is the only extra job
@@ -823,10 +880,12 @@ class CrawlEngine:
 
         tagged = (
             _tagged(scheduled, "f", True)
-            .unionByName(_tagged(user_first, "c", False))
+            # user candidates count post-keep-first, repo candidates
+            # pre-keep-first — the reference's dedup accounting; both read
+            # from already-persisted intermediates, no recompute
+            .unionByName(_tagged(first.filter(F.col("key_kind") == "user"), "c", True))
             .unionByName(_tagged(repo_cands, "c", False))
-            .unionByName(_tagged(u_ins, "i", False))
-            .unionByName(_tagged(r_ins, "i", False))
+            .unionByName(_tagged(confirmed, "i", True))
         )
         if not slim:
             tagged = tagged.unionByName(_tagged(deferred, "d", True))
@@ -959,10 +1018,10 @@ class CrawlEngine:
         if not slim:
             deferred.unpersist()
         sched_repo_rows.unpersist()
-        user_first.unpersist()
         repo_cands.unpersist()
-        u_new.unpersist()
-        r_new.unpersist()
+        first.unpersist()
+        new_keys.unpersist()
+        confirmed.unpersist()
         if s.transport is None:
             fetched_pages.unpersist()
 
@@ -996,16 +1055,30 @@ class CrawlEngine:
         reference's). Returns the deleted seen-key rows — a cuckoo-backed
         deployment feeds them to ``cuckoo.update`` as ``op='delete'``; the
         bloom layer needs no eviction (stale bits are false positives, which
-        the exact confirm join resolves)."""
+        the exact confirm join resolves).
+
+        The result is eagerly localCheckpoint'ed: ``merge_delete``'s raw
+        return reads scratch files that ``expire_snapshots`` (run by
+        ``run()``'s end-of-cycle maintenance) deletes, so a caller holding
+        the lazy plan past maintenance would read nothing (ADVICE r4 #5) —
+        checkpointing here makes the public API's result durable for the
+        session regardless of when it's consumed, and the merge into
+        url_seen reuses the same materialization."""
         _, del_rows = self.users.merge_delete(self.spark, keys)
-        seen_keys = self._seen_keys(del_rows, "user", F.col("username"), None)
+        seen_keys = self._seen_keys(
+            del_rows, "user", F.col("username"), None
+        ).localCheckpoint(eager=True)
         self.url_seen.merge_delete(self.spark, seen_keys)
         return seen_keys
 
     def delete_repositories(self, keys: DataFrame) -> DataFrame:
-        """Reference ``delete_repository`` (db/db-sqlx-sqlite/src/lib.rs:707-733)."""
+        """Reference ``delete_repository`` (db/db-sqlx-sqlite/src/lib.rs:707-733).
+        Result checkpointed for the same scratch-lifetime reason as
+        ``delete_users``."""
         _, del_rows = self.repositories.merge_delete(self.spark, keys)
-        seen_keys = self._seen_keys(del_rows, "repo", F.col("name"), F.col("owner"))
+        seen_keys = self._seen_keys(
+            del_rows, "repo", F.col("name"), F.col("owner")
+        ).localCheckpoint(eager=True)
         self.url_seen.merge_delete(self.spark, seen_keys)
         return seen_keys
 

@@ -73,6 +73,11 @@ def get_spark(
         # bloom seen-filter for large anti-joins
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # per-call Python call-site capture (error enrichment) walks the
+        # stack + importlib on EVERY DataFrame method — ~0.5 s of a
+        # 6 s engine micro-batch went to it. Errors still carry the full
+        # Python traceback; only the JVM-side origin annotation is lost.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Python-worker crash forensics (round-1 driver bench died with
         # "Python worker exited unexpectedly" and no traceback)
         .config("spark.python.worker.faulthandler.enabled", "true")

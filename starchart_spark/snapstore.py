@@ -135,6 +135,17 @@ class SnapshotTable:
 
         return host_bucket(col, n)
 
+    def _bucket_sql(self) -> str:
+        """SQL-string form of ``_bucket_expr`` (multi_commit builds its wide
+        union via one ``selectExpr`` per part — hundreds of per-column py4j
+        round trips were a measurable slice of the per-batch driver time)."""
+        assert self.bucket_by is not None
+        col, n = self.bucket_by
+        field = next((f for f in self.schema.fields if f.name == col), None)
+        if field is not None and isinstance(field.dataType, T.IntegerType):
+            return f"`{col}`"
+        return f"CAST(pmod(xxhash64(`{col}`), {n}) AS INT)"
+
     @staticmethod
     def _file_bucket(rel: str) -> int | None:
         """Bucket id a data file is pure for, or None for legacy/mixed."""
@@ -151,7 +162,9 @@ class SnapshotTable:
         staging = os.path.join(self._data_dir, f".staging-{uuid.uuid4().hex}")
         (
             df.select([f.name for f in self.schema.fields])
-            .withColumn("__pb", self._bucket_expr())
+            # NULL bucket → -1 (legacy/mixed file), never the Hive default
+            # partition dir (its name crashes the int() rename parse)
+            .withColumn("__pb", F.coalesce(self._bucket_expr(), F.lit(-1)))
             .write.mode("overwrite")
             .partitionBy("__pb")
             .parquet(staging)
@@ -337,6 +350,13 @@ class SnapshotTable:
         Returns the new snapshot and the rows that were actually deleted —
         callers use them to evict cuckoo-filter fingerprints.
 
+        **Lifetime contract**: the returned DataFrame reads scratch files
+        that the next ``expire_snapshots`` on this table deletes (and the
+        engine expires every table during end-of-run maintenance) — consume
+        it before maintenance, or ``localCheckpoint`` it. The engine's
+        public ``delete_users``/``delete_repositories`` APIs return an
+        eagerly checkpointed result for exactly this reason (ADVICE r4 #5).
+
         With ``bucket_by`` set, only the touched buckets' files are
         scanned and rewritten (see merge_update); the delete-keys DataFrame
         must carry the bucket column (true for every engine caller — seen
@@ -380,6 +400,29 @@ class SnapshotTable:
         /root/reference/db/db-sqlx-sqlite/src/lib.rs:977-997)."""
         rel = self._write_data_file(df.select([f.name for f in self.schema.fields]))
         return self._commit([rel], {"op": "overwrite", "ts_ms": _now_ms(), **(summary or {})})
+
+    def overwrite_if(self, df: DataFrame, metric, summary: dict | None = None) -> int:
+        """Conditional single-action overwrite: write ``df`` with ``metric``
+        (an aggregate Column aliased ``n``) observed ON the write job;
+        commit the overwrite only when n > 0, else discard the staged file
+        and leave the table untouched. Returns n. This is ``merge_insert``'s
+        observed-write trick applied to the overwrite path — callers like
+        the engine's TTL reactivation sweep (VERDICT r4 "do this" #8) get
+        count-and-maybe-rewrite in ONE Spark action with no churn commit on
+        the (common) nothing-due wake."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        rel = self._write_data_file(
+            df.observe(obs, metric).select([f.name for f in self.schema.fields])
+        )
+        n = int(obs.get["n"] or 0)  # empty input → NULL sum
+        if n == 0:
+            _rmtree(os.path.join(self._data_dir, rel))
+            return 0
+        self._commit([rel], {"op": "overwrite", "ts_ms": _now_ms(), "n": n,
+                             **(summary or {})})
+        return n
 
     # -- maintenance -----------------------------------------------------------
 
@@ -499,20 +542,36 @@ def multi_commit(
                 wide[fld.name] = fld.dataType
     wide_cols = list(wide)
 
-    union = None
+    # one selectExpr per part (a single py4j call carrying string
+    # expressions, vs ~|wide| Column-object round trips per part) and a
+    # balanced positional union (identical column order by construction;
+    # a left-fold chain re-analyzes a linearly growing plan per link)
+    pieces = []
     for (tbl, rows, _op), name in zip(parts, names):
         have = set(rows.columns)
-        sel = [
-            (F.col(c) if c in have else F.lit(None).cast(wide[c])).alias(c)
+        exprs = [
+            (f"`{c}`" if c in have else f"CAST(NULL AS {wide[c].simpleString()}) AS `{c}`")
             for c in wide_cols
         ] + [
-            F.lit(name).alias("__tbl"),
-            (tbl._bucket_expr() if tbl.bucket_by is not None else F.lit(-1)).alias(
-                "__pb"
-            ),
+            f"'{name}' AS __tbl",
+            # COALESCE: a NULL bucket value would write the Hive default-
+            # partition dir and crash the int() parse mid-commit-sequence
+            # (ADVICE r4 #4); -1 files read as legacy/mixed — correct, just
+            # not matched-files-prunable
+            (
+                f"COALESCE({tbl._bucket_sql()}, -1)"
+                if tbl.bucket_by is not None
+                else "-1"
+            )
+            + " AS __pb",
         ]
-        piece = rows.select(*sel)
-        union = piece if union is None else union.unionByName(piece)
+        pieces.append(rows.selectExpr(*exprs))
+    while len(pieces) > 1:
+        pieces = [
+            pieces[i].union(pieces[i + 1]) if i + 1 < len(pieces) else pieces[i]
+            for i in range(0, len(pieces), 2)
+        ]
+    union = pieces[0]
 
     from pyspark.sql import Observation
 

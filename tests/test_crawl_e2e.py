@@ -275,3 +275,28 @@ def test_delete_then_recrawl_readds(spark, tmp_path_factory):
     ).count() == 1
     assert eng.users.read(spark).count() == 1
     assert eng.repositories.read(spark).count() == spec.repos_per_forge
+
+
+def test_delete_result_survives_maintenance(spark, tmp_path_factory):
+    """The public delete APIs' returned keys stay readable after the
+    engine's end-of-run maintenance GCs the merge_delete scratch files
+    (ADVICE r4 #5: the raw merge_delete return is lazy over scratch;
+    delete_users/delete_repositories checkpoint it)."""
+    spec = CorpusSpec(n_forges=1, repos_per_forge=10, page_size=10)
+    dfs = corpus_to_spark(spark, make_corpus(spec))
+    eng = CrawlEngine(
+        spark, str(tmp_path_factory.mktemp("wh_delgc")),
+        CrawlSettings(host_buckets=4, items_per_api_call=10),
+    )
+    eng.init_state(dfs["seed_forges"], dfs["consent"])
+    eng.run(dfs["documents"], batch_time_s=50)
+
+    victim = eng.repositories.read(spark).orderBy("name").limit(2)
+    deleted_keys = eng.delete_repositories(victim.select("hostname", "owner", "name"))
+    # a full re-crawl cycle runs expire_snapshots on every table — the
+    # scratch files behind merge_delete's raw return are gone after this
+    eng.reactivate_due(now_s=50 + 432_000)
+    eng.run(dfs["documents"], batch_time_s=50 + 432_000 + 1)
+    rows = deleted_keys.collect()  # deferred consumption past maintenance
+    assert len(rows) == 2
+    assert {r["key_kind"] for r in rows} == {"repo"}

@@ -217,3 +217,27 @@ def test_observed_active_count_matches_state(spark, tmp_path, dfs):
         recount = eng.state.read(spark).filter(F.col("active")).count()
         assert observed == recount, (batch_id, observed, recount)
     assert batch_id >= 3  # drained after several pages
+
+
+def test_reactivate_due_is_one_action(spark, tmp_path, monkeypatch, dfs):
+    """P3 TTL sweep = ONE observed write, both when hosts are due (commit)
+    and when none are (staged file discarded, no snapshot churn) — VERDICT
+    r4 'do this' #8."""
+    eng = CrawlEngine(spark, str(tmp_path / "wh_react"), CrawlSettings(**SETTINGS))
+    eng.init_state(dfs["seed_forges"], dfs["consent"])
+    # drain both hosts fully (run() stamps last_crawl_on from the clock)
+    eng.run(dfs["documents"], batch_time_s=10)
+    assert eng.state.read(spark).filter(F.col("active")).count() == 0
+
+    n_snaps_before = len(eng.state.snapshots())
+    c = ActionCounter(monkeypatch)
+    assert eng.reactivate_due(now_s=10) == 0  # nothing due yet
+    assert c.writes == 1 and c.counts == 0 and c.collects == 0
+    # nothing-due wake commits NO snapshot
+    assert len(eng.state.snapshots()) == n_snaps_before
+
+    c2 = ActionCounter(monkeypatch)
+    assert eng.reactivate_due(now_s=10 + 432_000 + 1_000) == 2
+    assert c2.writes == 1 and c2.counts == 0 and c2.collects == 0
+    assert len(eng.state.snapshots()) == n_snaps_before + 1
+    assert eng.state.read(spark).filter(F.col("active")).count() == 2
