@@ -157,3 +157,60 @@ def sliding_limiter(
     return events.withColumn("window_count", F.count(F.lit(1)).over(w)).withColumn(
         out_col, F.col("window_count") > threshold
     )
+
+
+# ---------------------------------------------------------------------------
+# DNS TXT consent challenge (P4 upstream half, src/verify.rs:44-70 +
+# src/dns/mod.rs:26-59)
+# ---------------------------------------------------------------------------
+
+def txt_challenge_key(our_domain: str, host_col: str = "hostname"):
+    """Column: the DNS TXT record name a forge admin must publish to opt in.
+
+    ``starchart-{our starchart instance's domain}.{forge hostname}`` —
+    exactly ``TXTChallenge::get_challenge_txt_key`` (src/verify.rs:45-57).
+    The challenge VALUE is ``our_domain`` itself (src/verify.rs:59-63);
+    verification is "any TXT answer at the key equals the value"
+    (src/verify.rs:65-72) — see ``verify_txt_answers``.
+    """
+    return F.concat(F.lit(f"starchart-{our_domain}."), F.col(host_col))
+
+
+def verify_txt_answers(answers_col, our_domain: str):
+    """Column: True iff any TXT answer string equals our domain.
+
+    ``answers_col`` is an ``array<string>`` of the TXT strings returned at
+    the challenge key (the resolver itself is driver-side I/O, out of
+    engine scope like the reference's trust-dns call); the membership test
+    mirrors ``res.iter().any(|r| r.to_string() == self.value)``
+    (src/verify.rs:65-72). Pure JVM — no UDF.
+    """
+    return F.exists(answers_col, lambda a: a == F.lit(our_domain))
+
+
+def parse_txt_directives(
+    df: DataFrame, answer_col: str = "txt_answer"
+) -> DataFrame:
+    """Parse a raw spidering-directive TXT answer into typed columns.
+
+    The reference's ``Configuration::parse`` (src/dns/mod.rs:26-59) splits
+    on ``,`` then ``k=v`` with trim: ``"spidering=false,rate=500"`` →
+    ``{spidering: false, rate: Some(500)}``; absent keys keep the default
+    (``spidering=false``, ``rate=NULL``). Spark-side this is one JVM
+    ``str_to_map`` over the whitespace-stripped answer — no UDF, feeds the
+    consent table's ``(spidering, rate_ms)`` columns that ``consent_gate``
+    already reads. Unknown keys (the reference panics) are simply ignored
+    here: a scan operator must not crash the batch on one bad record —
+    callers that want the strict behavior can assert on ``_txt_map``.
+    """
+    m = F.str_to_map(
+        F.regexp_replace(F.col(answer_col), r"\s+", ""), F.lit(","), F.lit("=")
+    )
+    return (
+        df.withColumn("_txt_map", m)
+        .withColumn(
+            "spidering", F.coalesce(F.col("_txt_map")["spidering"] == "true", F.lit(False))
+        )
+        .withColumn("rate_ms", F.col("_txt_map")["rate"].cast("long"))
+        .drop("_txt_map")
+    )

@@ -119,3 +119,56 @@ def test_budget_capacity_closed_form():
             want = sum(1 for i in range(bound) if i * rate < budget)
             got = max(1, math.ceil(budget / rate))
             assert got == want, (rate, budget, got, want)
+
+
+def test_txt_directive_parse_reference_vectors(spark):
+    """The reference's dns_txt_parser_works vectors (src/dns/mod.rs:61-81)
+    plus trim/whitespace and unknown-key behavior through
+    parse_txt_directives."""
+    df = spark.createDataFrame(
+        [
+            (1, "spidering=false,rate=500"),
+            (2, "spidering=true"),
+            (3, " spidering = true , rate = 200 "),
+            (4, "other=1"),
+        ],
+        ["id", "txt_answer"],
+    )
+    out = {
+        r["id"]: (r["spidering"], r["rate_ms"])
+        for r in politeness.parse_txt_directives(df).collect()
+    }
+    assert out[1] == (False, 500)  # REQ/RES vector
+    assert out[2] == (True, None)  # REQ_2/RES_2 vector
+    assert out[3] == (True, 200)  # reference trims each k and v
+    assert out[4] == (False, None)  # defaults when keys absent
+
+
+def test_txt_challenge_key_and_verify(spark):
+    """Challenge key construction (src/verify.rs:45-57) and the any-answer-
+    equals-value membership test (src/verify.rs:65-72)."""
+    df = spark.createDataFrame(
+        [
+            ("git.batsense.net", ["forge.forgeflux.org", "x"]),
+            ("codeberg.org", ["nope"]),
+            ("gitea.example", []),
+        ],
+        ["hostname", "answers"],
+    )
+    rows = df.select(
+        "hostname",
+        politeness.txt_challenge_key("forge.forgeflux.org").alias("key"),
+        politeness.verify_txt_answers(F.col("answers"), "forge.forgeflux.org").alias(
+            "ok"
+        ),
+    ).collect()
+    got = {r["hostname"]: (r["key"], r["ok"]) for r in rows}
+    assert got["git.batsense.net"] == (
+        "starchart-forge.forgeflux.org.git.batsense.net",
+        True,
+    )
+    assert got["codeberg.org"] == (
+        "starchart-forge.forgeflux.org.codeberg.org",
+        False,
+    )
+    assert got["gitea.example"][1] is False
