@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -54,6 +55,11 @@ HEADLINE_QUERIES = [
     "lang_id",
     "fingerprint",
     "token_count",
+    # ANN production paths (VERDICT r4 "do this" #5): a plan regression in
+    # the IVF/IVFADC index route (e.g. the probe join strategy) must show
+    # up in the official per-query numbers, not only in pytest.
+    "ann_ivf_topk",
+    "ann_pq_topk",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge
@@ -301,15 +307,24 @@ def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dic
     # JVM codegen cache holds ~100 entries — warming all queries up front
     # evicts the early ones).
     per_query: dict[str, float] = {}
+    per_query_reps: dict[str, list[float]] = {}
     # isolation/scaling experiments time the frontier only — the per-query
     # loop is warm-up noise there (STARCHART_BENCH_SKIP_QUERIES=1)
     skip_queries = os.environ.get("STARCHART_BENCH_SKIP_QUERIES") == "1"
+    # median-of-N per query (VERDICT r4 "do this" #2): a single ambient
+    # burst distorted seen_anti_join 0.46→0.86 s in round 4 on a one-shot
+    # timing; the frontier already reps — queries now do too.
+    q_reps = max(1, int(os.environ.get("STARCHART_BENCH_QUERY_REPS", "3")))
     for name in [] if skip_queries else HEADLINE_QUERIES:
         fn, _ = QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+        times = []
+        for _ in range(q_reps):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(round(time.time() - t0, 3))
+        per_query[name] = round(statistics.median(times), 3)
+        per_query_reps[name] = times
 
     warmup(spark)
     # best-of-N frontier reps (default 3). The box has documented ambient
@@ -342,6 +357,7 @@ def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dic
         "value": stats["urls_per_sec"],
         "unit": "sec",
         "queries": per_query,
+        "query_reps": per_query_reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "frontier": stats,
         "frontier_reps_urls_per_sec": [s["urls_per_sec"] for s in reps],

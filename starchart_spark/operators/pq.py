@@ -182,6 +182,7 @@ def adc_scores(
     books: np.ndarray,
     spark: SparkSession,
     extra_col: str | None = None,
+    keep: int | None = None,
 ) -> DataFrame:
     """ADC scoring kernel over candidate rows (q_id, vq, vec_id, codes
     [, extra_col]): per Arrow batch, one LUT per DISTINCT query in the
@@ -194,6 +195,15 @@ def adc_scores(
 
     ``extra_col``: an optional per-row double column (e.g. the IVFADC
     coarse term q·centroid) added to the score.
+
+    ``keep``: per-(query, Arrow batch) partial top-k (ADVICE r4 medium):
+    callers rank globally by (sim desc, vec_id asc), and the global top-K
+    under a total order is a subset of the union of per-batch top-K under
+    the SAME order — so emitting only the best ``keep`` rows per query per
+    batch is lossless while shrinking the downstream rank-window shuffle
+    from O(candidates) to O(Q·keep·batches). Selection uses the ROUNDED
+    score (what the window sees) with the vec_id tie-break, keeping the
+    pruning exactly consistent with the final ordering.
     """
     m, ksub, dsub = books.shape
     bc = spark.sparkContext.broadcast(books)
@@ -218,13 +228,18 @@ def adc_scores(
             )
             for si in range(m):  # m O(B) gathers — no (B, m, ksub) blowup
                 scores = scores + lut[inv, si, codes[:, si]]
-            yield pd.DataFrame(
-                {
-                    "q_id": q_arr,
-                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "sim": np.round(scores, 6),
-                }
-            )
+            vec = pdf["vec_id"].to_numpy(dtype=np.int64)
+            sims = np.round(scores, 6)
+            if keep is not None and len(pdf) > keep:
+                # (q, -sim, vec_id) lexsort, first `keep` rows per q group
+                order = np.lexsort((vec, -sims, q_arr))
+                qs = q_arr[order]
+                starts = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
+                sizes = np.diff(np.r_[starts, len(qs)])
+                pos = np.arange(len(qs)) - np.repeat(starts, sizes)
+                sel = order[pos < keep]
+                q_arr, vec, sims = q_arr[sel], vec[sel], sims[sel]
+            yield pd.DataFrame({"q_id": q_arr, "vec_id": vec, "sim": sims})
 
     return cand.mapInPandas(_score, _TOPK_SCHEMA)
 
@@ -253,7 +268,7 @@ def pq_search(
         .crossJoin(F.broadcast(qn))
         .filter(F.col("q_id") != F.col("vec_id"))
     )
-    scored = adc_scores(cand, books, spark)
+    scored = adc_scores(cand, books, spark, keep=k)
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -572,7 +572,7 @@ def _ivf_pq_search(
     )
     adc = pq_mod.adc_scores(
         cand.select("q_id", "vq", "vec_id", "codes", "qc"), books, spark,
-        extra_col="qc",
+        extra_col="qc", keep=max(k, rerank),
     )
     ws = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     shortlist = (

@@ -425,6 +425,70 @@ FROM events
 """
 
 
+def q_txt_consent(spark, sf_dir):
+    """P4 upstream half: DNS TXT consent challenge + directive parse.
+
+    Builds the challenge key ``starchart-{our_domain}.{host}``
+    (src/verify.rs:45-57), verifies "any TXT answer equals our domain"
+    (src/verify.rs:65-72), and parses a spidering-directive answer
+    (``spidering=...,rate=...``, src/dns/mod.rs:26-59) into the consent
+    table's ``(spidering, rate_ms)`` columns — all pure-JVM column ops
+    over deterministic per-doc synthetic TXT answers (the resolver itself
+    is driver-side I/O, out of engine scope like the reference's
+    trust-dns call)."""
+    from starchart_spark.operators import politeness as pol
+
+    our = "starchart.example.org"
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("hostname", F.concat(F.col("source"), F.lit(".forge.example")))
+        .withColumn(
+            "txt_answer",
+            F.when(F.col("doc_id") % 4 == 0, F.lit("spidering=true,rate=500"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("spidering=false"))
+            .when(F.col("doc_id") % 4 == 2, F.lit(" spidering = true , rate = 200 "))
+            .otherwise(F.lit("other=1")),
+        )
+        .withColumn(
+            "answers",
+            F.array(
+                F.when(F.col("doc_id") % 2 == 0, F.lit(our)).otherwise(F.lit("nope")),
+                F.lit("unrelated-txt"),
+            ),
+        )
+    )
+    return pol.parse_txt_directives(d, "txt_answer").select(
+        "doc_id",
+        pol.txt_challenge_key(our).alias("challenge_key"),
+        pol.verify_txt_answers(F.col("answers"), our).alias("verified"),
+        "spidering",
+        "rate_ms",
+    )
+
+
+SQL_TXT_CONSENT = """
+WITH d AS (
+  SELECT doc_id,
+    source || '.forge.example' AS hostname,
+    regexp_replace(
+      CASE doc_id % 4 WHEN 0 THEN 'spidering=true,rate=500'
+                      WHEN 1 THEN 'spidering=false'
+                      WHEN 2 THEN ' spidering = true , rate = 200 '
+                      ELSE 'other=1' END,
+      '\\s+', '', 'g') AS clean
+  FROM documents
+)
+SELECT doc_id,
+  'starchart-starchart.example.org.' || hostname AS challenge_key,
+  (doc_id % 2 = 0) AS verified,
+  coalesce(regexp_extract(clean, '(^|,)spidering=([^,]*)', 2) = 'true', FALSE)
+    AS spidering,
+  CAST(nullif(regexp_extract(clean, '(^|,)rate=([0-9]+)', 2), '') AS BIGINT)
+    AS rate_ms
+FROM d
+"""
+
+
 def q_epoch_days(spark, sf_dir):
     """N8: epoch timestamps → day buckets, counted."""
     return (
@@ -877,15 +941,30 @@ def q_ann_pq_topk(spark, sf_dir):
     covers everything and the exact rerank makes the brute-force SQL an
     exact oracle over the full IVFADC plan. Approximate operating points
     (nprobe/rerank small) are covered by pytest (tests/test_ivfpq.py,
-    tests/test_pq.py)."""
+    tests/test_pq.py).
+
+    The index is built ONCE per (process, sf_dir) under a deterministic
+    cached path and ``open``-ed thereafter — a real deployment builds the
+    index offline and searches the persisted tables, and rebuilding per
+    invocation both distorts bench timings and leaks temp dirs on a tmpfs
+    box (ADVICE r4 #3)."""
+    import hashlib
+    import os
     import tempfile
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    idx = similarity.IvfIndex.build(
-        spark, emb, tempfile.mkdtemp(prefix="ivfpq_oracle_"),
-        n_centroids=16, pq_m=16, pq_ksub=64,
-    )
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"ivfpq_oracle_{tag}")
+    done = os.path.join(path, "_BUILT")
+    if os.path.exists(done):
+        idx = similarity.IvfIndex(path)
+    else:
+        idx = similarity.IvfIndex.build(
+            spark, emb, path, n_centroids=16, pq_m=16, pq_ksub=64,
+        )
+        with open(done, "w") as fh:
+            fh.write("ok\n")
     return idx.search(
         spark, queries, k=10, nprobe=16, rerank=10_000_000
     ).select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"))
@@ -1073,6 +1152,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "search_topics": (q_search_topics, SQL_SEARCH_TOPICS),
     "empty_is_none": (q_empty_is_none, SQL_EMPTY_IS_NONE),
     "props_parse": (q_props_parse, SQL_PROPS_PARSE),
+    "txt_consent": (q_txt_consent, SQL_TXT_CONSENT),
     "epoch_days": (q_epoch_days, SQL_EPOCH_DAYS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
