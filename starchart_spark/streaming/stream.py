@@ -14,6 +14,18 @@ genuinely streaming pieces for deployments that want them:
   ``applyInPandasWithState`` with a processing-time timeout standing in for
   the reference's GC sweep (src/master.rs:63-106, gc=45 s): per-peer event
   counts age out of state exactly like idle Counter actors being reaped.
+
+**Trigger caveat for budgeted frontier mode** (VERDICT r4 "do this" #4):
+budget continuation rounds are driven by PROCESSING-TIME state timeouts —
+a host whose buffered work outlasts the arriving data only progresses when
+the timeout fires in a later micro-batch. ``Trigger.AvailableNow`` stops
+as soon as the available DATA is consumed, BEFORE those timeouts fire, so
+a budgeted stream under availableNow terminates with work still buffered.
+availableNow is safe only for UNbudgeted mode (``budget_ms=None`` — every
+buffered page drains within the round its data arrives) and for
+``incremental_ingest`` (stateless per batch). For budgeted mode use a
+``processingTime`` trigger and stop on the drained markers —
+``drain_frontier`` below packages that pattern.
 """
 
 from __future__ import annotations
@@ -156,6 +168,11 @@ FRONTIER_STATE = T.StructType(
         # (which may have no input rows) can still emit
         T.StructField("forge_id", T.LongType(), True),
         T.StructField("forge_type", T.StringType(), True),
+        # per-host pacing (consent-table rate override, P5): the batch
+        # engine paces by effective_rate_ms per host, so budgeted parity
+        # must too — one global rate silently mis-caps and mis-splits
+        # hosts with overrides (ADVICE r4 #2)
+        T.StructField("rate_ms", T.LongType(), True),
     ]
 )
 
@@ -171,15 +188,28 @@ def shape_frontier_input(docs_stream: DataFrame, seeds: DataFrame) -> DataFrame:
     """
     from starchart_spark.operators import normalize
 
+    # per-host rate override rides the seed dim when present (consent-table
+    # effective_rate_ms, P5); absent → NULL → the scheduler's default rate
+    dim_cols = ["hostname", "forge_id", "forge_type"]
+    if "effective_rate_ms" in seeds.columns:
+        dim = seeds.select(
+            *dim_cols, F.col("effective_rate_ms").cast("long")
+        )
+    else:
+        dim = seeds.select(
+            *dim_cols, F.lit(None).cast("long").alias("effective_rate_ms")
+        )
     pages = docs_stream.filter(F.col("doc_id").rlike(r"[?&]page=\d+")).join(
-        F.broadcast(seeds.select("hostname", "forge_id", "forge_type")), "hostname"
+        F.broadcast(dim), "hostname"
     )
-    common = ["hostname", "forge_id", "forge_type", "page", "idx_in_page",
-              "owner_username", "name", "is_marker", "doc_id"]
+    common = ["hostname", "forge_id", "forge_type", "effective_rate_ms",
+              "page", "idx_in_page", "owner_username", "name", "is_marker",
+              "doc_id"]
     markers = pages.select(
         "hostname",
         "forge_id",
         "forge_type",
+        "effective_rate_ms",
         F.regexp_extract("doc_id", r"[?&]page=(\d+)", 1).cast("int").alias("page"),
         F.lit(0).alias("idx_in_page"),
         F.lit(None).cast("string").alias("owner_username"),
@@ -191,10 +221,10 @@ def shape_frontier_input(docs_stream: DataFrame, seeds: DataFrame) -> DataFrame:
         normalize.parse_search_pages_typed(
             pages.select("doc_id", "hostname", "spans", "forge_type")
         )
-        .join(F.broadcast(seeds.select("hostname", "forge_id", "forge_type")), "hostname")
+        .join(F.broadcast(dim), "hostname")
         .select(
-            "hostname", "forge_id", "forge_type", "page", "idx_in_page",
-            "owner_username", "name",
+            "hostname", "forge_id", "forge_type", "effective_rate_ms",
+            "page", "idx_in_page", "owner_username", "name",
             F.lit(False).alias("is_marker"), "doc_id",
         )
         .select(common)
@@ -226,35 +256,48 @@ def make_frontier_fn(rate_ms: int | None = None, budget_ms: int | None = None):
     tests/test_streaming.py. Reference anchor: the per-host rate sleeps at
     forge/gitea/src/lib.rs:133-148 inside the daemon loop
     src/spider.rs:175-223.
+
+    ``rate_ms`` here is the DEFAULT rate; a host whose seed row carries a
+    consent-table ``effective_rate_ms`` override paces (slots, budget cap,
+    defer split, continuation timeout) by ITS rate, exactly like the batch
+    engine (ADVICE r4 #2). The override is captured into state on first
+    contact so budget-continuation rounds with no input rows keep it.
     """
     import json
     import math
 
     budgeted = budget_ms is not None
-    rate = int(rate_ms or 0)
-    cap = None
-    if budgeted and rate > 0:
-        # number of slots i·rate strictly under the budget
-        cap = max(1, math.ceil(budget_ms / rate))
+    default_rate = int(rate_ms or 0)
+
+    def _cap_for(rate: int) -> int | None:
+        if budgeted and rate > 0:
+            # number of slots i·rate strictly under the budget
+            return max(1, math.ceil(budget_ms / rate))
+        return None
 
     def _fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         timed_out = bool(getattr(state, "hasTimedOut", False))
         if state.exists:
-            next_page, active, buf_json, done, forge_id, forge_type = state.get
+            (next_page, active, buf_json, done, forge_id, forge_type,
+             host_rate) = state.get
             buffer = json.loads(buf_json)
         elif timed_out:
             return
         else:
             next_page, active, buffer, done = 1, True, {}, 0
-            forge_id, forge_type = None, None
+            forge_id, forge_type, host_rate = None, None, None
         host = key[0]
         if not timed_out:
             for pdf in pdfs:
                 for r in pdf.itertuples(index=False):
                     forge_id = int(r.forge_id)
                     forge_type = r.forge_type
+                    if r.effective_rate_ms is not None and not pd.isna(
+                        r.effective_rate_ms
+                    ):
+                        host_rate = int(r.effective_rate_ms)
                     ent = buffer.setdefault(
                         str(int(r.page)), {"doc_id": None, "repos": []}
                     )
@@ -264,6 +307,8 @@ def make_frontier_fn(rate_ms: int | None = None, budget_ms: int | None = None):
                         ent["repos"].append(
                             [int(r.idx_in_page), r.owner_username, r.name]
                         )
+        rate = default_rate if host_rate is None else int(host_rate)
+        cap = _cap_for(rate)
         rows = []
         while active:
             ent = buffer.get(str(next_page))
@@ -304,7 +349,8 @@ def make_frontier_fn(rate_ms: int | None = None, budget_ms: int | None = None):
                     # page only in the next micro-batch
                     break
         state.update(
-            (next_page, active, json.dumps(buffer), done, forge_id, forge_type)
+            (next_page, active, json.dumps(buffer), done, forge_id,
+             forge_type, host_rate)
         )
         if budgeted and active and (done > 0 or str(next_page) in buffer):
             # work remains buffered: schedule a continuation round even if
@@ -324,6 +370,42 @@ def make_frontier_fn(rate_ms: int | None = None, budget_ms: int | None = None):
 
 # default (unbudgeted) cursor — the original round-3 behavior
 _frontier_fn = make_frontier_fn()
+
+
+def drain_frontier(
+    spark: SparkSession,
+    query,
+    events_table: str,
+    n_hosts: int,
+    timeout_s: float = 120.0,
+    poll_s: float = 1.0,
+    stop: bool = True,
+) -> int:
+    """Run a budgeted frontier stream until every host drains (or timeout).
+
+    ``query`` is a started ``StreamingQuery`` writing the scheduler's
+    events to the in-memory (or any queryable) sink named
+    ``events_table`` with a **processingTime** trigger — availableNow
+    would stop before the timeout-driven continuation rounds fire (see
+    module docstring). Polls the drained-marker count until it reaches
+    ``n_hosts``; returns the count observed (callers assert
+    ``== n_hosts``). Stops the query on exit unless ``stop=False``.
+    """
+    import time
+
+    deadline = time.time() + timeout_s
+    drained = 0
+    try:
+        while time.time() < deadline and drained < n_hosts:
+            drained = spark.sql(
+                f"select count(*) from {events_table} where kind='drained'"
+            ).collect()[0][0]
+            if drained < n_hosts:
+                time.sleep(poll_s)
+    finally:
+        if stop:
+            query.stop()
+    return int(drained)
 
 
 def streaming_frontier_scheduler(

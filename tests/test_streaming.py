@@ -264,16 +264,9 @@ def test_streaming_budget_real_stream_drains(spark, tmp_path):
         .trigger(processingTime="200 milliseconds")
         .start()
     )
-    try:
-        deadline = time.time() + 120
-        drained = 0
-        while time.time() < deadline and drained < 1:
-            drained = spark.sql(
-                "select count(*) from budget_events where kind='drained'"
-            ).collect()[0][0]
-            time.sleep(1)
-    finally:
-        q.stop()
+    drained = stream.drain_frontier(
+        spark, q, "budget_events", n_hosts=1, timeout_s=120
+    )
     assert drained == 1, "host did not drain via timeout continuation"
     visits = sorted(
         (r["page"], r["idx_in_page"])
