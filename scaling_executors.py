@@ -64,6 +64,17 @@ def result(proc: subprocess.Popen) -> float:
     return float(json.loads(line)["value"])
 
 
+def membw_probe() -> float:
+    """Single-process DRAM stream-copy GB/s (membw.py, ~3 s) run before
+    each rep: a rep whose baseline deviates >20% from the session median
+    ran inside one of the box's documented ambient-burst windows, so its
+    efficiency is annotated unqualified rather than blindly trimmed
+    (VERDICT r4 "do this" #6)."""
+    import membw
+
+    return membw.measure(1)
+
+
 CPU_SETS_4C = ["0-3", "8-11"]  # the 2×4-core middle rung
 
 
@@ -74,15 +85,16 @@ def main() -> None:
     duo_reps = int(os.environ.get("STARCHART_SCALING_DUO_REPS", "2"))
     rows = []
     for rep in range(reps):
+        probe = membw_probe()
         solo = result(launch(CPU_SETS[0], "solo"))
         quad_procs = [launch(cs, f"q{i}") for i, cs in enumerate(CPU_SETS)]
         quad = [result(p) for p in quad_procs]
         agg = sum(quad)
         eff = agg / (4 * solo)
         rows.append({"solo": solo, "quad": quad, "aggregate": agg,
-                     "efficiency": round(eff, 3)})
-        print(f"rep {rep}: solo={solo:.0f} agg={agg:.0f} eff={eff:.3f}",
-              file=sys.stderr)
+                     "efficiency": round(eff, 3), "membw_gb_s": probe})
+        print(f"rep {rep}: solo={solo:.0f} agg={agg:.0f} eff={eff:.3f} "
+              f"membw={probe:.0f}", file=sys.stderr)
 
     # middle rung: N=1 vs 2N=2 pinned 4-core executor JVMs — shows the
     # efficiency trend between the 1x and 4x points isn't knife-edge
@@ -101,7 +113,19 @@ def main() -> None:
         print(f"4c rep {rep}: solo={solo4:.0f} agg={agg4:.0f} eff={eff4:.3f}",
               file=sys.stderr)
 
-    effs = sorted(r["efficiency"] for r in rows)
+    # burst qualification (VERDICT r4 "do this" #6): a rep whose pre-rep
+    # DRAM probe deviates >20% from the session median ran inside an
+    # ambient-burst window — mark it and compute the headline median over
+    # qualified reps only (falling back to all reps if qualification
+    # would leave fewer than 2, so one noisy session can't erase the run)
+    probes = [r["membw_gb_s"] for r in rows]
+    probe_med = statistics.median(probes)
+    for r in rows:
+        r["qualified"] = abs(r["membw_gb_s"] - probe_med) / probe_med <= 0.2
+    qual = [r for r in rows if r["qualified"]]
+    if len(qual) < 2:
+        qual = rows
+    effs = sorted(r["efficiency"] for r in qual)
     med_eff = round(statistics.median(effs), 3)
     # outlier trim: drop the best and worst rep, mean the rest (stable
     # against a single ambient-burst rep either direction)
@@ -114,6 +138,8 @@ def main() -> None:
         "reps": reps,
         "cpu_sets": CPU_SETS,
         "per_rep": rows,
+        "membw_probe_median_gb_s": probe_med,
+        "n_qualified_reps": len(qual),
         "median_efficiency": med_eff,
         "trimmed_mean_efficiency": trim_eff,
         "middle_rung_1v2_4core": {
