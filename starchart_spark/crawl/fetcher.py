@@ -49,15 +49,22 @@ def fetch_batch(
     slot_col: str = "slot_ms",
     host_col: str = "hostname",
     url_col: str = "doc_id",
+    rate_col: str = "effective_rate_ms",
 ) -> DataFrame:
     """Fetch every scheduled row, per host in slot order, honoring slots.
 
     Each host group establishes its own t0 when its task starts; fetch i
-    sleeps until ``slot_ms[i]`` relative to that t0 before calling the
-    transport, so consecutive calls to one host are spaced by at least the
-    politeness rate (slots are cummax(prev + rate)). Output = input columns
-    + ``spans`` (null for missing pages) + ``sent_at_ms`` (actual send time
-    relative to the group t0, for audit/tests).
+    sleeps until ``max(slot_ms[i], send[i-1] + rate)`` relative to that t0
+    before calling the transport. The second term is the reference's token
+    bucket (fetch_time[i] = max(arrival, fetch_time[i-1] + rate),
+    forge/gitea/src/lib.rs:133-148): the precomputed slots alone only space
+    the calls when every call returns inside its inter-slot gap — a slow
+    response must push the NEXT send out by the full rate, not let it fire
+    at an already-passed slot. ``rate_col`` is read when present in the
+    input (the engine's scheduled frames always carry it); without it the
+    schedule degrades to slots-only. Output = input columns + ``spans``
+    (null for missing pages) + ``sent_at_ms`` (actual send time relative to
+    the group t0, for audit/tests).
     """
     out_schema = T.StructType(
         scheduled.schema.fields
@@ -66,18 +73,26 @@ def fetch_batch(
             T.StructField("sent_at_ms", T.LongType(), False),
         ]
     )
+    has_rate = rate_col in scheduled.columns
 
     def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(slot_col, kind="mergesort").reset_index(drop=True)
         t0 = time.monotonic()
         spans_out, sent = [], []
+        prev_send_s = None
         for i in range(len(pdf)):
             target_s = float(pdf[slot_col].iloc[i]) / 1000.0
+            if has_rate and prev_send_s is not None:
+                target_s = max(
+                    target_s,
+                    prev_send_s + float(pdf[rate_col].iloc[i]) / 1000.0,
+                )
             now_s = time.monotonic() - t0
             if now_s < target_s:
                 time.sleep(target_s - now_s)
+            prev_send_s = time.monotonic() - t0
             spans_out.append(transport(pdf[url_col].iloc[i]))
-            sent.append(int((time.monotonic() - t0) * 1000))
+            sent.append(int(prev_send_s * 1000))
         pdf["spans"] = spans_out
         pdf["sent_at_ms"] = sent
         return pdf
