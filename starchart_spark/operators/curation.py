@@ -1,0 +1,232 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Signals and filters a large-scale pretraining pipeline runs over a
+``documents(doc_id, text, ...)`` corpus *after* dedup (``dedup_text``) and
+alongside the per-doc quality features (``text``):
+
+- :func:`top_ngram_ratio` / :func:`repetition_ratios` — the Gopher-style
+  "fraction of the document covered by its most frequent n-gram" repetition
+  signal (Rae et al. 2021, §A1.1), computed **scan-local with zero
+  shuffles**: the n-gram multiset of one document never needs to leave its
+  row, so the whole signal is a sorted-array fold inside whole-stage
+  codegen rather than the groupBy-per-shingle plan a naive port would run.
+- :func:`contamination_hits` — C4/GPT-style benchmark decontamination: a
+  document is contaminated if it shares any token n-gram with a held-out
+  benchmark set (Brown et al. 2020 use 13-grams; n is a parameter). The
+  benchmark n-gram set is orders of magnitude smaller than the corpus, so
+  it broadcasts and the corpus side never shuffles.
+- :func:`boilerplate_coverage` — corpus-frequent n-gram coverage per doc
+  (navboxes, license headers, cookie banners): one doc-frequency
+  aggregation over distinct (doc, shingle) pairs, then a broadcast join of
+  the (small, by the frequency threshold itself) boilerplate set back onto
+  per-doc shingles.
+- :func:`curated_corpus` — the composed keep-filter (length x repetition x
+  decontamination), a single scan + one broadcast anti-join.
+
+All arithmetic is chosen to be expressible in ANSI SQL so every operator is
+DuckDB-oracle-verifiable end-to-end (see ``__spark_entry__.oracle_sql``).
+No Python runs in any of these paths.
+
+Reference note: the reference crawler (forgeflux-org/starchart) has no
+curation layer — these are the "beyond the reference" training-data ops the
+build brief mandates, grounded in the public Gopher/C4 filtering rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup_text
+from .text import token_count
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _ngram_array(text_col: Column, n: int) -> Column:
+    """All token n-grams of a document, in order, with multiplicity.
+
+    Same construction as ``dedup_text.shingles`` but WITHOUT the distinct —
+    repetition signals need the multiset.
+    """
+    toks = F.split(F.trim(text_col), TOKEN_SPLIT)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_ratio(text_col: Column | str, n: int) -> Column:
+    """count(most frequent n-gram) / count(all n-grams), 0.0 if no n-grams.
+
+    Zero-shuffle: sort the document's n-gram array, then a single
+    ``aggregate`` fold tracks the longest run of equal neighbours — the
+    mode count of the multiset — entirely inside codegen. Shingles are
+    non-empty strings (tokens come from ``split(trim(text))``), so the ""
+    run-seed can never match a real shingle.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = F.array_sort(_ngram_array(c, n))
+    zero = F.lit(0).cast("long")
+    folded = F.aggregate(
+        arr,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).cast(
+                "long"
+            ).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1))
+                .cast("long"),
+            ).alias("best"),
+        ),
+    )
+    return F.when(
+        F.size(arr) > 0, F.round(folded["best"] / F.size(arr), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_ratios(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Per-doc top-n-gram repetition ratios (Gopher rep. signal), one row
+    per input doc with a ``top{n}_ratio`` column per n. Pure projection —
+    the plan is a parquet scan with no exchange."""
+    return df.select(
+        F.col(id_col),
+        *[
+            top_ngram_ratio(text_col, n).alias(f"top{n}_ratio")
+            for n in ns
+        ],
+    )
+
+
+def contamination_hits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bench_pred: Column | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: for every non-benchmark doc sharing at
+    least one distinct token n-gram with the benchmark subset, the number
+    of distinct shared n-grams — ``(doc_id, n_shared)``.
+
+    ``bench_pred`` selects the held-out benchmark docs (default: the
+    deterministic ``doc_id % 10 == 0`` slice, a stand-in for the eval-set
+    table a real pipeline would load). The benchmark n-gram set is tiny
+    relative to the corpus, so it is broadcast; the corpus side's only wide
+    operation is the final per-doc count, keyed on ``doc_id`` (already the
+    scan's natural key).
+    """
+    if bench_pred is None:
+        bench_pred = F.col(id_col) % 10 == 0
+    bench_sh = (
+        dedup_text.shingles(df.filter(bench_pred), id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    rest_sh = dedup_text.shingles(
+        df.filter(~bench_pred), id_col, text_col, n
+    )
+    return (
+        rest_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def boilerplate_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_frac: float = 0.2,
+) -> DataFrame:
+    """Fraction of each doc's distinct n-grams that are corpus-frequent
+    (appear in >= ceil(min_frac * n_docs) distinct docs) —
+    ``(doc_id, coverage)``, 0.0 for docs with no n-grams.
+
+    Doc frequency is one map-side-combined groupBy over distinct
+    (doc, shingle) pairs; the qualifying boilerplate set shrinks with the
+    threshold, so it rides a broadcast join back onto the per-doc shingles.
+    The scalar corpus count joins in as a broadcast single-row aggregate
+    (no driver action).
+    """
+    sh = dedup_text.shingles(df, id_col, text_col, n)
+    n_docs = df.select(F.count("*").alias("__nd"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") >= F.ceil(F.lit(min_frac) * F.col("__nd")))
+        .select("shingle")
+    )
+    per_doc = (
+        sh.join(F.broadcast(boiler).withColumn("__b", F.lit(1)),
+                "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.count("__b") / F.count("*"), 6
+            ).alias("coverage")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("coverage"), F.lit(0.0)).alias("coverage"),
+        )
+    )
+
+
+def curated_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 40,
+    max_top2_ratio: float = 0.2,
+    contamination_n: int = 3,
+    bench_pred: Column | None = None,
+) -> DataFrame:
+    """The composed C4-style keep-filter: non-benchmark docs that are long
+    enough, not degenerately repetitive, and share no ``contamination_n``-
+    gram with the benchmark subset — ``(doc_id, n_tokens, top2_ratio)``.
+
+    Plan shape at scale: ONE corpus scan computing both scan-local signals
+    in the same projection, then a single broadcast left-anti join against
+    the contaminated-doc set (itself corpus-scan + broadcast). Nothing
+    shuffles on the corpus side except the contamination count keyed by
+    doc_id.
+    """
+    if bench_pred is None:
+        bench_pred = F.col(id_col) % 10 == 0
+    contaminated = contamination_hits(
+        df, id_col, text_col, contamination_n, bench_pred
+    ).select(id_col)
+    signals = df.filter(~bench_pred).select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        top_ngram_ratio(text_col, 2).alias("top2_ratio"),
+    )
+    return (
+        signals.filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("top2_ratio") <= max_top2_ratio)
+        )
+        .join(F.broadcast(contaminated), id_col, "left_anti")
+    )

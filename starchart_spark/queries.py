@@ -20,7 +20,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from starchart_spark.functions.urls import canonicalize_udf, hostname_udf
-from starchart_spark.operators import dedup, dedup_text, politeness, similarity, skew, text
+from starchart_spark.operators import (
+    curation,
+    dedup,
+    dedup_text,
+    politeness,
+    similarity,
+    skew,
+    text,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1005,6 +1013,138 @@ FROM documents
 """
 
 
+def q_repetition_ratios(spark, sf_dir):
+    """Gopher-style repetition signal: per-doc top-bigram and top-trigram
+    coverage ratios, computed scan-local (zero shuffles — the n-gram
+    multiset folds inside one codegen'd projection)."""
+    return curation.repetition_ratios(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_RATIOS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), g2 AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+  FROM toks WHERE len(t) >= 2
+), g3 AS (
+  SELECT doc_id, unnest(
+    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+  ) AS g
+  FROM toks WHERE len(t) >= 3
+), m2 AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS r
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+), m3 AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS r
+  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(m2.r, 0.0) AS top2_ratio,
+       coalesce(m3.r, 0.0) AS top3_ratio
+FROM documents d LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+"""
+
+
+def q_contamination_hits(spark, sf_dir):
+    """Benchmark decontamination: distinct shared 3-grams per corpus doc vs
+    the held-out benchmark slice (doc_id % 10 == 0) — broadcast benchmark
+    n-gram set, corpus side shuffles only the per-doc count."""
+    return curation.contamination_hits(_t(spark, sf_dir, "documents"))
+
+
+SQL_CONTAMINATION_HITS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t) - 1)]
+  ) AS shingle
+  FROM toks WHERE len(t) >= 3
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0
+)
+SELECT s.doc_id, count(*) AS n_shared
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.doc_id % 10 <> 0
+GROUP BY 1
+"""
+
+
+def q_boilerplate_coverage(spark, sf_dir):
+    """Corpus-frequent-bigram coverage per doc (navbox/banner signal):
+    one doc-frequency aggregation, broadcast boilerplate set back."""
+    return curation.boilerplate_coverage(
+        _t(spark, sf_dir, "documents"), n=2, min_frac=0.04
+    )
+
+
+SQL_BOILERPLATE_COVERAGE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS shingle
+  FROM toks WHERE len(t) >= 2
+), nd AS (
+  SELECT count(*) AS n FROM documents
+), dfq AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+), boiler AS (
+  SELECT shingle FROM dfq, nd WHERE df >= ceil(0.04 * n)
+), per AS (
+  SELECT s.doc_id, round(count(b.shingle) * 1.0 / count(*), 6) AS coverage
+  FROM sh s LEFT JOIN boiler b ON s.shingle = b.shingle GROUP BY 1
+)
+SELECT d.doc_id, coalesce(per.coverage, 0.0) AS coverage
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_curated_corpus(spark, sf_dir):
+    """Composed C4-style keep-filter: long-enough, non-repetitive,
+    5-gram-decontaminated non-benchmark docs — one corpus scan for both
+    scan-local signals plus one broadcast anti-join."""
+    return curation.curated_corpus(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=30,
+        max_top2_ratio=0.06,
+        contamination_n=5,
+    )
+
+
+SQL_CURATED_CORPUS = r"""
+WITH toks AS (
+  SELECT doc_id, trim(text) AS tt,
+         regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+), g2 AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+  FROM toks WHERE len(t) >= 2
+), m2 AS (
+  SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS r
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+), g5 AS (
+  SELECT DISTINCT doc_id, unnest(
+    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+     FOR i IN range(1, len(t) - 3)]
+  ) AS shingle
+  FROM toks WHERE len(t) >= 5
+), bench AS (
+  SELECT DISTINCT shingle FROM g5 WHERE doc_id % 10 = 0
+), contam AS (
+  SELECT DISTINCT s.doc_id FROM g5 s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % 10 <> 0
+)
+SELECT tk.doc_id,
+       CASE WHEN tt = '' THEN 0 ELSE len(t) END::BIGINT AS n_tokens,
+       coalesce(m2.r, 0.0) AS top2_ratio
+FROM toks tk LEFT JOIN m2 USING (doc_id)
+WHERE tk.doc_id % 10 <> 0
+  AND (CASE WHEN tt = '' THEN 0 ELSE len(t) END) >= 30
+  AND coalesce(m2.r, 0.0) <= 0.06
+  AND tk.doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
 def q_publiccode_roundtrip(spark, sf_dir):
     """N5/N6 federation gate: repo-shaped rows rendered to publiccode.yml
     (vectorized YAML) and ingested back — the projection through the real
@@ -1180,6 +1320,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_EMBEDDING_TOPK),
     "ann_pq_topk": (q_ann_pq_topk, SQL_EMBEDDING_TOPK),
     "media_type_dispatch": (q_media_type_dispatch, SQL_MEDIA_TYPE_DISPATCH),
+    "repetition_ratios": (q_repetition_ratios, SQL_REPETITION_RATIOS),
+    "contamination_hits": (q_contamination_hits, SQL_CONTAMINATION_HITS),
+    "boilerplate_coverage": (q_boilerplate_coverage, SQL_BOILERPLATE_COVERAGE),
+    "curated_corpus": (q_curated_corpus, SQL_CURATED_CORPUS),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

@@ -1,0 +1,122 @@
+"""Semantics tests for the corpus-curation operators (operators/curation.py)
+on hand-built documents with known-by-construction signals. The sf-scale
+DuckDB-oracle parity for the same ops lives in test_entry_oracle.py
+(repetition_ratios / contamination_hits / boilerplate_coverage /
+curated_corpus registry entries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from starchart_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_top_ngram_ratio_known_mode(spark):
+    # "a b a b a" → bigrams: [a b, b a, a b, b a] → mode count 2 of 4
+    # trigrams: [a b a, b a b, a b a] → mode 2 of 3
+    df = _docs(spark, [(1, "a b a b a")])
+    row = df.select(
+        curation.top_ngram_ratio("text", 2).alias("r2"),
+        curation.top_ngram_ratio("text", 3).alias("r3"),
+    ).first()
+    assert row.r2 == 0.5
+    assert row.r3 == round(2 / 3, 6)
+
+
+def test_top_ngram_ratio_degenerate_docs(spark):
+    df = _docs(spark, [(1, ""), (2, "solo"), (3, "x x x x")])
+    rows = {
+        r.doc_id: r.r2
+        for r in df.select(
+            "doc_id", curation.top_ngram_ratio("text", 2).alias("r2")
+        ).collect()
+    }
+    assert rows[1] == 0.0  # no tokens → no bigrams
+    assert rows[2] == 0.0  # one token → no bigrams
+    assert rows[3] == 1.0  # all bigrams identical
+
+
+def test_repetition_ratios_is_shuffle_free(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "d e f g")])
+    plan = curation.repetition_ratios(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_contamination_hits_counts_shared_distinct_ngrams(spark):
+    # bench doc 10 (10 % 10 == 0); doc 11 shares exactly the distinct
+    # 2-gram "p q"; doc 12 shares nothing; doc 13 repeats the shared gram
+    # twice but must still count it ONCE (distinct semantics).
+    df = _docs(
+        spark,
+        [
+            (10, "p q r"),
+            (11, "z p q"),
+            (12, "m n o"),
+            (13, "p q w p q"),
+        ],
+    )
+    out = {
+        r.doc_id: r.n_shared
+        for r in curation.contamination_hits(df, n=2).collect()
+    }
+    assert out == {11: 1, 13: 1}
+
+
+def test_boilerplate_coverage_threshold(spark):
+    # 4 docs; bigram "the end" appears in all 4 (df=4 >= ceil(0.5*4)=2);
+    # every other bigram is unique to its doc.
+    df = _docs(
+        spark,
+        [
+            (1, "aa bb the end"),
+            (2, "cc dd the end"),
+            (3, "ee ff the end"),
+            (4, "gg hh the end"),
+        ],
+    )
+    out = curation.boilerplate_coverage(df, n=2, min_frac=0.5).collect()
+    # per doc: distinct bigrams = {aa bb, bb the, the end} → boiler set must
+    # contain exactly "the end" (df=4) → coverage 1/3
+    assert {r.doc_id for r in out} == {1, 2, 3, 4}
+    for r in out:
+        assert r.coverage == round(1 / 3, 6)
+
+
+def test_boilerplate_coverage_no_ngram_doc_is_zero(spark):
+    df = _docs(spark, [(1, "only"), (2, "a b a b"), (3, "a b c")])
+    out = {
+        r.doc_id: r.coverage
+        for r in curation.boilerplate_coverage(df, n=2, min_frac=0.5).collect()
+    }
+    assert out[1] == 0.0  # no bigrams at all, still present with 0.0
+
+
+def test_curated_corpus_composed_filters(spark):
+    long_clean = " ".join(f"w{i}" for i in range(40))  # unique bigrams
+    repetitive = "x y " * 20  # top2_ratio ≈ 0.5
+    short = "a b c"
+    # contaminated: shares its 3-gram "c1 c2 c3" with bench doc 0
+    bench = "c1 c2 c3 filler other words here padding " + " ".join(
+        f"b{i}" for i in range(32)
+    )
+    contaminated = "c1 c2 c3 " + " ".join(f"u{i}" for i in range(37))
+    df = _docs(
+        spark,
+        [
+            (0, bench),          # benchmark slice (0 % 10 == 0)
+            (1, long_clean),     # kept
+            (2, repetitive),     # dropped: repetition
+            (3, short),          # dropped: too short
+            (4, contaminated),   # dropped: shares 3-gram with bench
+        ],
+    )
+    out = curation.curated_corpus(
+        df, min_tokens=30, max_top2_ratio=0.2, contamination_n=3
+    ).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].n_tokens == 40
