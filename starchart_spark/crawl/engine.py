@@ -180,6 +180,14 @@ class CrawlEngine:
         self.warehouse = warehouse
         self.s = settings or CrawlSettings()
         self._batch_time_s: int | None = None  # injected logical clock (N8)
+        # entity⊆url_seen invariant flag: True lets every batch skip the
+        # entity confirm anti-join (two table scans + union + NULL-safe
+        # anti-join, ~4-6 AQE jobs at cadence). None = unknown (direct
+        # _run_batch callers) → conservative join; run() verifies the
+        # invariant with ONE startup isEmpty() job; foreign-entity writers
+        # (tar import, streaming ingest) set it False for the rest of the
+        # process — see _entity_confirm_skippable.
+        self._entities_pure: bool | None = None
         # driver-maintained seen-set size for the bloom engage threshold;
         # None = unknown → treat as engaged (direct _run_batch callers);
         # run() seeds it with one startup count and then accumulates the
@@ -250,6 +258,51 @@ class CrawlEngine:
             probed = bloom_mod.probe_jvm(cands, bloom_filters)
             return dedup.seen_filter(probed, seen, key_cols, "maybe_seen").drop("maybe_seen")
         return dedup.seen_filter(cands, seen, key_cols)
+
+    def _entity_confirm_skippable(self) -> bool:
+        """ONE startup job deciding the per-batch entity confirm skip.
+
+        The confirm anti-join (vs the users/repositories tables themselves)
+        exists for entities that are NOT covered by url_seen: foreign rows
+        from a tar import (interchange.import_into_engine) or the streaming
+        ingest sink, which merge entities without seen keys. Engine batches
+        always commit an entity's seen key in the same multi_commit (and the
+        rollback guard repairs any torn commit before this runs), so when
+        ``entities left-anti url_seen`` is empty the anti-join is provably a
+        no-op for every batch of this run and each batch drops two entity
+        table scans, a union and a NULL-safe anti-join (~4-6 AQE jobs — the
+        next term in the small-batch cadence floor after the unified pass).
+
+        Invariant-based, not history-based: snapshot summaries would name
+        the foreign writers, but expire_snapshots prunes history, so the
+        check verifies the data itself. Self-healing: a rediscovered
+        imported entity gets its seen key added (seen_rows derive from
+        new_keys, not confirmed), so the skip re-engages on a later run once
+        imports are fully re-crawled. isEmpty() stops at the first
+        counterexample."""
+        ent = (
+            self.users.read(self.spark)
+            .select(
+                F.lit("user").alias("key_kind"),
+                "hostname",
+                F.col("username").alias("key1"),
+                F.lit(None).cast("string").alias("key2"),
+            )
+            .unionByName(
+                self.repositories.read(self.spark).select(
+                    F.lit("repo").alias("key_kind"),
+                    "hostname",
+                    F.col("name").alias("key1"),
+                    F.col("owner").alias("key2"),
+                )
+            )
+        )
+        return _key_join(
+            ent,
+            self.url_seen.read(self.spark),
+            ["key_kind", "hostname", "key1", "key2"],
+            "left_anti",
+        ).isEmpty()
 
     # -- lifecycle ---------------------------------------------------------------
 
@@ -439,6 +492,9 @@ class CrawlEngine:
                 raise ValueError("documents is required without a transport")
             docs = self._prep_docs(documents).persist()
         self._rollback_partial_batches()
+        # one cold-path job; sound to re-verify even after a foreign import
+        # (the check reads the data, and mid-run writers set the flag False)
+        self._entities_pure = self._entity_confirm_skippable()
         batch_id = self._last_batch_id()
         if self.s.use_bloom and self.s.bloom_min_keys > 0:
             # one startup count seeds the driver-side engage threshold;
@@ -820,24 +876,32 @@ class CrawlEngine:
         # still land, so both tables converge whichever side of the commit
         # sequence the crash fell on). Both entity tables project to the
         # same key shape, so ONE NULL-safe anti-join confirms both kinds.
-        entity_keys = (
-            self.users.read(self.spark)
-            .select(
-                F.lit("user").alias("key_kind"),
-                "hostname",
-                F.col("username").alias("key1"),
-                F.lit(None).cast("string").alias("key2"),
-            )
-            .unionByName(
-                self.repositories.read(self.spark).select(
-                    F.lit("repo").alias("key_kind"),
+        if self._entities_pure:
+            # entity⊆url_seen verified at run() start (and maintained by
+            # every batch commit), so the confirm anti-join is a no-op:
+            # new_keys already excludes everything in url_seen ⊇ entities
+            confirmed = new_keys
+        else:
+            entity_keys = (
+                self.users.read(self.spark)
+                .select(
+                    F.lit("user").alias("key_kind"),
                     "hostname",
-                    F.col("name").alias("key1"),
-                    F.col("owner").alias("key2"),
+                    F.col("username").alias("key1"),
+                    F.lit(None).cast("string").alias("key2"),
+                )
+                .unionByName(
+                    self.repositories.read(self.spark).select(
+                        F.lit("repo").alias("key_kind"),
+                        "hostname",
+                        F.col("name").alias("key1"),
+                        F.col("owner").alias("key2"),
+                    )
                 )
             )
-        )
-        confirmed = _key_join(new_keys, entity_keys, ukey_cols, "left_anti").persist()
+            confirmed = _key_join(
+                new_keys, entity_keys, ukey_cols, "left_anti"
+            ).persist()
         u_ins = confirmed.filter(F.col("key_kind") == "user").select(
             *[f.name for f in tables.USERS.fields]
         )

@@ -298,4 +298,8 @@ def import_into_engine(engine, dfs: dict[str, DataFrame], batch_id: int = -1) ->
             engine.spark, dfs[name], {"op": "import-tar", "batch_id": batch_id}
         )
         out[name] = int(snap.summary.get("inserted", 0))
+    # imported entities carry no url_seen keys, so the engine's per-batch
+    # entity confirm anti-join is required again until a later run()
+    # re-verifies the entity⊆url_seen invariant
+    engine._entities_pure = False
     return out

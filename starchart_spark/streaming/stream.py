@@ -86,6 +86,10 @@ def incremental_ingest(engine, docs_stream: DataFrame, checkpoint_dir: str):
         repos = normalize.normalize_repositories(repo_rows, topics)
         engine.users.merge_insert(engine.spark, users, {"stream_batch": batch_id})
         engine.repositories.merge_insert(engine.spark, repos, {"stream_batch": batch_id})
+        # these entities carry no url_seen keys — the batch engine's entity
+        # confirm anti-join must run until a later run() re-verifies the
+        # entity⊆url_seen invariant
+        engine._entities_pure = False
 
     return (
         docs_stream.writeStream.foreachBatch(_ingest)
