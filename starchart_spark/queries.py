@@ -24,6 +24,7 @@ from starchart_spark.operators import (
     curation,
     dedup,
     dedup_text,
+    pii,
     politeness,
     similarity,
     skew,
@@ -1145,6 +1146,97 @@ WHERE tk.doc_id % 10 <> 0
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII audit + redaction in one codegen'd scan: synthesize PII-bearing
+    text from customer (deterministic email / TPC-H-format phone / IPv4),
+    then count and scrub each class — zero shuffles, zero Python."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.concat(
+        (k % 25 + 10).cast("string"),
+        F.lit("-"),
+        (k % 900 + 100).cast("string"),
+        F.lit("-"),
+        (k % 871 + 100).cast("string"),
+        F.lit("-"),
+        (k % 9000 + 1000).cast("string"),
+    )
+    txt = F.concat(
+        F.lit("reach user."),
+        k.cast("string"),
+        F.lit("@mail-"),
+        (k % 7).cast("string"),
+        F.lit(".example.com or call "),
+        phone,
+        F.lit(" from 192.168."),
+        (k % 256).cast("string"),
+        F.lit("."),
+        (k % 250).cast("string"),
+        F.lit(" today"),
+    )
+    d = c.select(k.alias("doc_id"), txt.alias("text"))
+    return pii.pii_features(d)
+
+
+SQL_PII_SCRUB = r"""
+WITH d AS (
+  SELECT c_custkey AS doc_id,
+         'reach user.' || c_custkey || '@mail-' || (c_custkey % 7) ||
+         '.example.com or call ' ||
+         (c_custkey % 25 + 10) || '-' || (c_custkey % 900 + 100) || '-' ||
+         (c_custkey % 871 + 100) || '-' || (c_custkey % 9000 + 1000) ||
+         ' from 192.168.' ||
+         (c_custkey % 256) || '.' || (c_custkey % 250) || ' today' AS text
+  FROM customer
+)
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+    AS n_emails,
+  len(regexp_extract_all(text,
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text,
+      '\b[0-9]{2,3}[-.][0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+    '\b[0-9]{2,3}[-.][0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g')
+    AS clean_text
+FROM d
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization via Catalyst's native session_window
+    aggregation (one user_id exchange, map-side partials) — the streaming-
+    compatible form, vs the lag+cumsum two-pass the oracle runs."""
+    from starchart_spark.operators import sessions
+
+    return sessions.sessionize(_t(spark, sf_dir, "events"))
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 8 HOUR THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       epoch_ms(min(ts)) AS session_start_ms,
+       epoch_ms(max(ts) + INTERVAL 8 HOUR) AS session_end_ms,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_publiccode_roundtrip(spark, sf_dir):
     """N5/N6 federation gate: repo-shaped rows rendered to publiccode.yml
     (vectorized YAML) and ingested back — the projection through the real
@@ -1324,6 +1416,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "contamination_hits": (q_contamination_hits, SQL_CONTAMINATION_HITS),
     "boilerplate_coverage": (q_boilerplate_coverage, SQL_BOILERPLATE_COVERAGE),
     "curated_corpus": (q_curated_corpus, SQL_CURATED_CORPUS),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),
