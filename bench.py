@@ -60,6 +60,12 @@ HEADLINE_QUERIES = [
     # up in the official per-query numbers, not only in pytest.
     "ann_ivf_topk",
     "ann_pq_topk",
+    # round-5 curation suite: composed C4-style filter (scan-local signals
+    # + broadcast decontamination), one-scan PII audit+scrub, native
+    # session_window aggregation
+    "curated_corpus",
+    "pii_scrub",
+    "sessionize",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

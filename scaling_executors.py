@@ -113,15 +113,19 @@ def main() -> None:
         print(f"4c rep {rep}: solo={solo4:.0f} agg={agg4:.0f} eff={eff4:.3f}",
               file=sys.stderr)
 
-    # burst qualification (VERDICT r4 "do this" #6): a rep whose pre-rep
-    # DRAM probe deviates >20% from the session median ran inside an
-    # ambient-burst window — mark it and compute the headline median over
-    # qualified reps only (falling back to all reps if qualification
-    # would leave fewer than 2, so one noisy session can't erase the run)
+    # burst qualification (VERDICT r4 "do this" #6): ambient interference
+    # can only LOWER the DRAM probe (bandwidth is upper-bounded by the
+    # hardware), so the session MAX probe is the closest observation of
+    # the box's clean baseline and a rep qualifies iff its probe is within
+    # 20% of that max. (A session-median anchor fails exactly when it
+    # matters: in a mostly-bursty session the median IS the burst level,
+    # so it keeps the contaminated reps and discards the clean ones —
+    # observed live in the first round-5 session, probes 15/9/9/12/9.)
     probes = [r["membw_gb_s"] for r in rows]
     probe_med = statistics.median(probes)
+    probe_max = max(probes)
     for r in rows:
-        r["qualified"] = abs(r["membw_gb_s"] - probe_med) / probe_med <= 0.2
+        r["qualified"] = r["membw_gb_s"] >= 0.8 * probe_max
     qual = [r for r in rows if r["qualified"]]
     if len(qual) < 2:
         qual = rows
@@ -139,6 +143,7 @@ def main() -> None:
         "cpu_sets": CPU_SETS,
         "per_rep": rows,
         "membw_probe_median_gb_s": probe_med,
+        "membw_probe_max_gb_s": probe_max,
         "n_qualified_reps": len(qual),
         "median_efficiency": med_eff,
         "trimmed_mean_efficiency": trim_eff,
