@@ -1237,6 +1237,80 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: per-source concatenation order, cut
+    every 512 tokens, docs assigned to the sequence their first token
+    lands in — integer arithmetic end-to-end (window cumsum + DIV)."""
+    from starchart_spark.operators import packing
+
+    return packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), context_len=512
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT source, doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM t
+)
+SELECT source, start_off // 512 AS seq_id, count(*) AS n_docs,
+       sum(n_tokens) AS n_tokens, min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM c GROUP BY source, start_off // 512
+"""
+
+
+# fixed mixture for the driver gate: absolute per-language token budgets
+# (es deliberately absent → rate 0, dropped from the mixture)
+_MIXTURE_TARGETS = [("en", 5000), ("de", 2000), ("fr", 1000), ("zh", 3000)]
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling: one aggregate for per-language
+    acceptance rates (min(1, target/total)), then a deterministic
+    selector predicate behind a broadcast rate dim — row-exact."""
+    from starchart_spark.operators import packing
+
+    targets = spark.createDataFrame(
+        _MIXTURE_TARGETS, "lang string, target_tokens long"
+    )
+    return packing.mixture_sample(
+        _t(spark, sf_dir, "documents"), targets
+    ).select("doc_id", "lang", "source")
+
+
+SQL_MIXTURE_SAMPLE = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT lang, sum(n_tokens) AS total_tokens FROM tok GROUP BY lang
+), r AS (
+  SELECT lang,
+         CAST(trunc(least(1.0,
+           (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                      WHEN 'fr' THEN 1000 WHEN 'zh' THEN 3000
+                      ELSE 0 END) * 1.0 / total_tokens) * 2147483647)
+           AS BIGINT) AS thresh
+  FROM tot
+)
+SELECT t.doc_id, t.lang, t.source
+FROM tok t JOIN r USING (lang)
+WHERE {_SEL_SQL.format(col="t.doc_id")} < r.thresh
+"""
+
+
 def q_publiccode_roundtrip(spark, sf_dir):
     """N5/N6 federation gate: repo-shaped rows rendered to publiccode.yml
     (vectorized YAML) and ingested back — the projection through the real
@@ -1418,6 +1492,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "curated_corpus": (q_curated_corpus, SQL_CURATED_CORPUS),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),
