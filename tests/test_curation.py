@@ -47,6 +47,40 @@ def test_repetition_ratios_is_shuffle_free(spark):
     assert "Exchange" not in plan
 
 
+def test_arrow_kernel_equals_jvm_fold(spark):
+    # the production Arrow kernel and the cross-validation JVM fold must
+    # agree exactly (incl. edge whitespace, repeats, short docs) — and on
+    # the real corpus
+    rows = [
+        (1, "a b a b a b c"),
+        (2, "  x\ty \n z  x y "),
+        (3, "solo"),
+        (4, ""),
+        (5, "r r r r r r"),
+    ]
+    df = _docs(spark, rows)
+    for n in (2, 3):
+        got = {
+            r.doc_id: r.r
+            for r in df.select(
+                "doc_id", F.round(curation.mode_ratio_udf(n)("text"), 6).alias("r")
+            ).collect()
+        }
+        want = {
+            r.doc_id: r.r
+            for r in df.select(
+                "doc_id", curation.top_ngram_ratio("text", n).alias("r")
+            ).collect()
+        }
+        assert got == want
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = corpus.select(
+        F.sum(F.round(curation.mode_ratio_udf(2)("text"), 6))
+    ).first()[0]
+    b = corpus.select(F.sum(curation.top_ngram_ratio("text", 2))).first()[0]
+    assert abs(a - b) < 1e-9
+
+
 def test_contamination_hits_counts_shared_distinct_ngrams(spark):
     # bench doc 10 (10 % 10 == 0); doc 11 shares exactly the distinct
     # 2-gram "p q"; doc 12 shares nothing; doc 13 repeats the shared gram
