@@ -66,6 +66,12 @@ HEADLINE_QUERIES = [
     "curated_corpus",
     "pii_scrub",
     "sessionize",
+    # round-5 session-2: packing/mixture (the pretraining last mile) —
+    # per-shard window cumsum + hash agg, and the two-scan budget sampler
+    "pack_sequences",
+    "mixture_sample",
+    # round-5 session-3: CCNet-style per-language quality terciles
+    "quality_buckets",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 from . import dedup_text
 from .text import token_count
@@ -49,6 +50,25 @@ TOKEN_SPLIT = r"\s+"
 # Java \s is ASCII-only; Python \s matches unicode whitespace — the Arrow
 # kernel must split exactly like the JVM/oracle expressions do
 _JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _jvm_tokens(t: str | None) -> list[str]:
+    """Tokenize exactly like the JVM/oracle ``split(trim(text), '\\s+')``.
+
+    Two JVM quirks the obvious ``t.strip().split()`` misses (each one a
+    silent oracle mismatch for the affected doc):
+    - Spark ``trim`` strips the SPACE character only, so a doc opening or
+      closing with a tab/newline keeps it — and Java ``Pattern.split``
+      then yields an EMPTY token at that end (Spark's ``split`` passes
+      ``limit=-1``, which keeps trailing empties, unlike Java's
+      ``String.split`` default);
+    - Python ``re.split`` has exactly ``Pattern.split(limit=-1)``
+      semantics for this pattern, so after the space-only strip the split
+      needs no further adjustment.
+    """
+    if t is None:
+        return []
+    return _JAVA_WS.split(t.strip(" "))
 
 
 def _ensure_min_partitions(df: DataFrame) -> DataFrame:
@@ -152,7 +172,7 @@ def mode_ratio_udf(n: int):
     def ratio(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = _JAVA_WS.split(t.strip()) if t and t.strip() else []
+            toks = _jvm_tokens(t)
             if len(toks) < n:
                 out.append(0.0)
                 continue
@@ -308,4 +328,92 @@ def curated_corpus(
     return (
         signals.filter(F.col("top2_ratio") <= max_top2_ratio)
         .join(F.broadcast(contaminated), id_col, "left_anti")
+    )
+
+
+def percentile_buckets(
+    df: DataFrame,
+    score_col: str,
+    by_col: str,
+    id_col: str = "doc_id",
+    cuts: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+) -> DataFrame:
+    """CCNet-style per-stratum percentile bucketing (Wenzek et al. 2020
+    split each language by perplexity terciles into head/middle/tail) —
+    ``(id, by, score, bucket)``.
+
+    EXACT form: ``percent_rank() over (partition by stratum order by
+    score)`` then threshold the rank — deterministic under ties (equal
+    scores share a rank, so they always share a bucket), and the identical
+    expression exists in ANSI SQL, which makes this the oracle-checkable
+    path. A single-row stratum ranks 0.0 → first label, both engines.
+
+    Scale note: the window puts each stratum in ONE sort partition — right
+    for verification and for moderate per-stratum volumes; when one
+    stratum is a large corpus share, use :func:`percentile_buckets_at_scale`
+    (broadcast approx thresholds onto a pure scan filter, no per-stratum
+    global sort).
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly one more label than cuts")
+    pr = F.percent_rank().over(Window.partitionBy(by_col).orderBy(score_col))
+    bucket = F.lit(labels[-1])
+    for cut, lab in reversed(list(zip(cuts, labels))):
+        bucket = F.when(pr < F.lit(float(cut)), F.lit(lab)).otherwise(bucket)
+    return df.select(
+        F.col(id_col), F.col(by_col), F.col(score_col), bucket.alias("bucket")
+    )
+
+
+def percentile_bucket_thresholds(
+    df: DataFrame,
+    score_col: str,
+    by_col: str,
+    cuts: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-stratum score thresholds at the given quantiles — the tiny dim
+    the at-scale bucketing broadcasts. One map-side-combined aggregate
+    (percentile_approx sketches merge associatively); ``accuracy`` trades
+    sketch memory for quantile error exactly as documented by Spark."""
+    return df.groupBy(by_col).agg(
+        *[
+            F.percentile_approx(score_col, float(c), accuracy).alias(f"__t{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+
+
+def percentile_buckets_at_scale(
+    df: DataFrame,
+    score_col: str,
+    by_col: str,
+    id_col: str = "doc_id",
+    cuts: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """The 100 TB form of :func:`percentile_buckets`: ONE aggregate builds
+    the per-stratum threshold dim (strata-sized → broadcast), then bucket
+    assignment is a pure projection on the corpus scan — no per-stratum
+    sort anywhere, mega-stratum skew impossible by construction.
+
+    Tie convention differs from the exact form at the boundary: a doc
+    scoring exactly a threshold falls in the LOWER bucket here
+    (``score <= t``), whereas rank-thresholding splits equal scores by
+    their shared rank; and thresholds are approximate within Spark's
+    documented ``1/accuracy`` quantile error. Both paths agree on bucket
+    sizes within that error — pytest-asserted on the test corpus."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly one more label than cuts")
+    th = percentile_bucket_thresholds(df, score_col, by_col, cuts, accuracy)
+    bucket = F.lit(labels[-1])
+    for i, lab in reversed(list(enumerate(labels[:-1]))):
+        bucket = F.when(F.col(score_col) <= F.col(f"__t{i}"), F.lit(lab)).otherwise(
+            bucket
+        )
+    return (
+        df.join(F.broadcast(th), by_col)
+        .select(F.col(id_col), F.col(by_col), F.col(score_col), bucket.alias("bucket"))
     )

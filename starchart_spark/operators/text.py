@@ -81,7 +81,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_chars_calc", n_chars.cast("long"))
         .withColumn("n_tokens", n_tokens.cast("long"))
-        .withColumn("punct_ratio", (n_punct.cast("double") / F.greatest(n_chars, F.lit(1))))
+        # rounded BEFORE quality_score composes it — the SQL oracle rounds
+        # punct_ratio in its CTE, so an unrounded value here could flip
+        # quality_score's 6th decimal on adversarial punct densities
+        .withColumn(
+            "punct_ratio",
+            F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        )
         .withColumn(
             "mean_token_len",
             F.round(

@@ -1311,6 +1311,82 @@ WHERE {_SEL_SQL.format(col="t.doc_id")} < r.thresh
 """
 
 
+def q_quality_buckets(spark, sf_dir):
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020 split
+    each language by model score into head/middle/tail): ONE corpus scan
+    computes quality_score + lang_pred together, then the exact
+    percent_rank tercile split per predicted language. The registry runs
+    the exact (oracle-checkable) form; `percentile_buckets_at_scale` is the
+    100 TB path (broadcast approx thresholds, no per-stratum sort)."""
+    from starchart_spark.operators import curation
+
+    d = text.lang_id(text.quality_features(_t(spark, sf_dir, "documents")))
+    return curation.percentile_buckets(
+        d.select("doc_id", "lang_pred", "quality_score"),
+        score_col="quality_score",
+        by_col="lang_pred",
+    )
+
+
+def _quality_buckets_sql() -> str:
+    """Quality + lang-id CTEs (same arithmetic as their own oracles) joined,
+    then percent_rank terciles — percent_rank is (rank-1)/(n-1) in both
+    engines, 0 for a single-row stratum, ties share a rank."""
+    score_cols = ",\n         ".join(
+        "len(list_intersect(toks, [{}])) AS s_{}".format(
+            ",".join(f"'{m}'" for m in ms), la
+        )
+        for la, ms in sorted(text.LANG_MARKERS.items())
+    )
+    langs = sorted(text.LANG_MARKERS)
+    best = "greatest({})".format(", ".join(f"s_{la}" for la in langs))
+    case = "CASE " + " ".join(
+        f"WHEN s_{la} = best AND best > 0 THEN '{la}'" for la in langs
+    ) + " ELSE 'und' END"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}]', '', 'g')) AS n_punct
+  FROM documents
+), feat AS (
+  SELECT doc_id, toks, n_tokens,
+         round(n_punct * 1.0 / greatest(n_chars, 1), 6) AS punct_ratio,
+         len(list_intersect(toks, {_STOP_SQL}))::BIGINT AS stopword_hits
+  FROM base
+), qual AS (
+  SELECT doc_id, toks,
+         round(least(n_tokens / 100.0, 1.0) * 0.5
+               + least(stopword_hits / 5.0, 1.0) * 0.3
+               + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2, 6) AS quality_score
+  FROM feat
+), scored AS (
+  SELECT doc_id, quality_score,
+         {score_cols}
+  FROM qual
+), withbest AS (
+  SELECT *, {best} AS best FROM scored
+), joined AS (
+  SELECT doc_id, {case} AS lang_pred, quality_score FROM withbest
+), ranked AS (
+  SELECT doc_id, lang_pred, quality_score,
+         percent_rank() OVER (PARTITION BY lang_pred ORDER BY quality_score) AS pr
+  FROM joined
+)
+SELECT doc_id, lang_pred, quality_score,
+       CASE WHEN pr < 1.0/3 THEN 'tail'
+            WHEN pr < 2.0/3 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM ranked
+"""
+
+
+SQL_QUALITY_BUCKETS = _quality_buckets_sql()
+
+
 def q_publiccode_roundtrip(spark, sf_dir):
     """N5/N6 federation gate: repo-shaped rows rendered to publiccode.yml
     (vectorized YAML) and ingested back — the projection through the real
@@ -1494,6 +1570,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

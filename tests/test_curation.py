@@ -57,6 +57,13 @@ def test_arrow_kernel_equals_jvm_fold(spark):
         (3, "solo"),
         (4, ""),
         (5, "r r r r r r"),
+        # JVM-quirk rows: Spark trim strips SPACES only, and split keeps
+        # empty tokens at a tab/newline boundary — the naive .strip()
+        # kernel diverged on every one of these (denominator off by one)
+        (6, "\tq w q w"),
+        (7, "a b a b\n"),
+        (8, "\t"),
+        (9, None),
     ]
     df = _docs(spark, rows)
     for n in (2, 3):
@@ -154,3 +161,60 @@ def test_curated_corpus_composed_filters(spark):
     ).collect()
     assert [r.doc_id for r in out] == [1]
     assert out[0].n_tokens == 40
+
+
+def test_percentile_buckets_known_terciles(spark):
+    # stratum A: 6 distinct scores → pr = i/5: 0,.2 tail | .4,.6 middle
+    # (both < 2/3) | .8,1.0 head; stratum B: single row → pr 0 → tail;
+    # stratum C: tied minima share rank 1 → pr 0 → both tail
+    rows = [("A", i, float(i)) for i in range(1, 7)]
+    rows += [("B", 10, 9.0), ("C", 20, 5.0), ("C", 21, 5.0), ("C", 22, 7.0)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, score double")
+    out = {
+        r.doc_id: r.bucket
+        for r in curation.percentile_buckets(
+            df, score_col="score", by_col="lang"
+        ).collect()
+    }
+    assert [out[i] for i in range(1, 7)] == [
+        "tail", "tail", "middle", "middle", "head", "head"
+    ]
+    assert out[10] == "tail"
+    assert out[20] == out[21] == "tail" and out[22] == "head"
+
+
+def test_percentile_buckets_at_scale_agrees_and_avoids_sort(spark):
+    from pyspark.sql import functions as F
+
+    # 3 strata x 120 distinct scores — the approx path (accuracy >> n) must
+    # agree with the exact path on bucket sizes within the boundary-tie
+    # convention (± the docs exactly at a threshold)
+    df = (
+        spark.range(360)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("L"), (F.col("id") % 3).cast("string")).alias("lang"),
+            (F.col("id") * 7919 % 3571).cast("double").alias("score"),
+        )
+    )
+    exact = (
+        curation.percentile_buckets(df, "score", "lang")
+        .groupBy("lang", "bucket").count().collect()
+    )
+    at_scale = (
+        curation.percentile_buckets_at_scale(df, "score", "lang", accuracy=100000)
+        .groupBy("lang", "bucket").count().collect()
+    )
+    e = {(r.lang, r.bucket): r["count"] for r in exact}
+    a = {(r.lang, r.bucket): r["count"] for r in at_scale}
+    assert set(e) == set(a)
+    for k in e:
+        assert abs(e[k] - a[k]) <= 2, (k, e[k], a[k])
+    # the at-scale plan must not sort-window per stratum (the skew hazard
+    # the function exists to avoid) and must broadcast the threshold dim
+    plan = (
+        curation.percentile_buckets_at_scale(df, "score", "lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "Broadcast" in plan
