@@ -72,6 +72,12 @@ HEADLINE_QUERIES = [
     "mixture_sample",
     # round-5 session-3: CCNet-style per-language quality terciles
     "quality_buckets",
+    # round-5 session-4: paragraph-level dedup, DSIR selection, SemDedup
+    "paragraph_dedup",
+    "dsir_weights",
+    "semantic_dedup",
+    "lm_score",
+    "substring_dedup",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -81,7 +81,9 @@ CPU_SETS_4C = ["0-3", "8-11"]  # the 2×4-core middle rung
 def main() -> None:
     # 5 reps default (VERDICT r3 "do this" #6: more reps + outlier trim —
     # round 3's 0.803 median sat 0.003 over the bar with one rep at 0.795)
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    args = [a for a in sys.argv[1:] if a != "--append"]
+    append = "--append" in sys.argv[1:]
+    reps = int(args[0]) if args else 5
     duo_reps = int(os.environ.get("STARCHART_SCALING_DUO_REPS", "2"))
     rows = []
     for rep in range(reps):
@@ -89,13 +91,14 @@ def main() -> None:
         solo = result(launch(CPU_SETS[0], "solo"))
         quad_procs = [launch(cs, f"q{i}") for i, cs in enumerate(CPU_SETS)]
         quad = [result(p) for p in quad_procs]
+        probe_post = membw_probe()
         agg = sum(quad)
         eff = agg / (4 * solo)
         rows.append({"solo": solo, "quad": quad, "aggregate": agg,
-                     "efficiency": round(eff, 3), "membw_gb_s": probe})
+                     "efficiency": round(eff, 3), "membw_gb_s": probe,
+                     "membw_post_gb_s": probe_post})
         print(f"rep {rep}: solo={solo:.0f} agg={agg:.0f} eff={eff:.3f} "
-              f"membw={probe:.0f}", file=sys.stderr)
-
+              f"membw={probe:.0f}/{probe_post:.0f}", file=sys.stderr)
     # middle rung: N=1 vs 2N=2 pinned 4-core executor JVMs — shows the
     # efficiency trend between the 1x and 4x points isn't knife-edge
     duo_rows = []
@@ -113,23 +116,39 @@ def main() -> None:
         print(f"4c rep {rep}: solo={solo4:.0f} agg={agg4:.0f} eff={eff4:.3f}",
               file=sys.stderr)
 
-    # burst qualification (VERDICT r4 "do this" #6): ambient interference
-    # can only LOWER the DRAM probe (bandwidth is upper-bounded by the
-    # hardware), so the session MAX probe is the closest observation of
-    # the box's clean baseline and a rep qualifies iff its probe is within
-    # 20% of that max. (A session-median anchor fails exactly when it
-    # matters: in a mostly-bursty session the median IS the burst level,
-    # so it keeps the contaminated reps and discards the clean ones —
-    # observed live in the first round-5 session, probes 15/9/9/12/9.)
+    if append:
+        try:
+            with open(os.path.join(REPO, "SCALING_EXECUTORS.json")) as f:
+                prior = json.load(f)
+            rows = prior.get("per_rep", []) + rows
+            reps = len(rows)
+            duo_rows = (
+                prior.get("middle_rung_1v2_4core", {}).get("per_rep", [])
+                + duo_rows
+            )
+            print(f"--append: merged to {reps} reps / {len(duo_rows)} duo reps",
+                  file=sys.stderr)
+        except (OSError, json.JSONDecodeError):
+            pass
+
+    # Burst handling (VERDICT r4 #6, revised after two sessions of live
+    # data): the DRAM probe is an ANNOTATION, not an exclusion gate. A
+    # pre-rep probe cannot see a burst that starts mid-rep, and a burst
+    # can hit EITHER phase — a solo-phase hit inflates the rep's ratio
+    # (observed 1.020) exactly as often as a quad-phase hit deflates it
+    # (observed 0.526), so the artifacts are two-sided and the MEDIAN over
+    # all reps is the estimator that cancels them; probe-based exclusion
+    # discarded whichever half happened to disagree with the probe's
+    # moment. Probes (pre+post) stay recorded so a burst-straddling rep is
+    # identifiable in the data.
     probes = [r["membw_gb_s"] for r in rows]
     probe_med = statistics.median(probes)
     probe_max = max(probes)
     for r in rows:
-        r["qualified"] = r["membw_gb_s"] >= 0.8 * probe_max
-    qual = [r for r in rows if r["qualified"]]
-    if len(qual) < 2:
-        qual = rows
-    effs = sorted(r["efficiency"] for r in qual)
+        pre = r["membw_gb_s"]
+        post = r.get("membw_post_gb_s", pre)
+        r["burst_suspect"] = min(pre, post) < 0.8 * probe_max
+    effs = sorted(r["efficiency"] for r in rows)
     med_eff = round(statistics.median(effs), 3)
     # outlier trim: drop the best and worst rep, mean the rest (stable
     # against a single ambient-burst rep either direction)
@@ -144,7 +163,7 @@ def main() -> None:
         "per_rep": rows,
         "membw_probe_median_gb_s": probe_med,
         "membw_probe_max_gb_s": probe_max,
-        "n_qualified_reps": len(qual),
+        "n_burst_suspect_reps": sum(1 for r in rows if r.get("burst_suspect")),
         "median_efficiency": med_eff,
         "trimmed_mean_efficiency": trim_eff,
         "middle_rung_1v2_4core": {

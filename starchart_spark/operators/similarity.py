@@ -202,21 +202,29 @@ def cosine_pairs_lsh(
     sig = hyperplane_signatures(
         spark, corpus, n_planes, n_tables, dim, seed, id_col, vec_col
     )
-    a = sig.select(
-        F.col(id_col).alias("a_id"),
-        F.col(vec_col).cast("array<double>").alias("va"),
-        "bucket",
-    )
-    b = sig.select(
-        F.col(id_col).alias("b_id"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-        "bucket",
-    )
+    # candidate generation stays NARROW: the bucket self-join and the
+    # cross-table dropDuplicates move (bucket, a_id, b_id) — 24-byte rows —
+    # and vectors hydrate AFTER dedup via two joins against the corpus.
+    # (The previous shape carried both vectors through the candidate
+    # shuffle: ~1 KB/row × tables× duplicated pairs — at 10⁶ vectors that
+    # is the whole operator's cost; this form shuffles 2.5% of it.)
+    a = sig.select(F.col(id_col).alias("a_id"), "bucket")
+    b = sig.select(F.col(id_col).alias("b_id"), "bucket")
     cand = (
         a.join(b, "bucket")
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    va = corpus.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    hydrated = cand.join(va, "a_id").join(vb, "b_id")
 
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
@@ -225,7 +233,9 @@ def cosine_pairs_lsh(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        cand.withColumn("sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        hydrated.withColumn(
+            "sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+        )
         .filter(F.col("sim") >= threshold)
         .select("a_id", "b_id", "sim")
     )
@@ -837,3 +847,46 @@ def ann_topk_lsh(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    use_lsh: bool = True,
+    n_planes: int = 2,
+    n_tables: int = 32,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup-style embedding dedup (Abbas et al. 2023 drop near-identical
+    points inside k-means clusters): keep a document iff NO lower-id
+    document sits within cosine ``threshold`` of it.
+
+    The keep rule is pairwise dominance, not connected components: each
+    kept doc is ε-isolated from every lower id, so chains a~b~c (a≁c) keep
+    {a, c} — one representative per ε-ball rather than one per transitive
+    cluster (``cluster.dedup_clusters`` is the CC form when that is
+    wanted). Dominance is exactly expressible as NOT EXISTS in SQL, which
+    makes the FULL production plan oracle-checkable.
+
+    Plan: pair mining via :func:`cosine_pairs_lsh` (bucket-local
+    candidates, exact JVM rerank — never all-pairs; the SemDedup paper's
+    k-means bucketing and LSH bucketing play the same role: only
+    plausibly-close pairs are scored) → the higher id of every surviving
+    pair is dropped via ONE broadcast-able anti-join on the corpus scan.
+    ``use_lsh=False`` swaps in the O(N²) exact pair miner for small-N
+    verification; at the recall parameters documented on
+    :func:`cosine_pairs_lsh` the two are equal up to ~1e-7 per-pair miss
+    odds — pytest-asserted equal on the test corpus.
+    """
+    if use_lsh:
+        pairs = cosine_pairs_lsh(
+            spark, corpus, threshold, n_planes, n_tables, dim, seed, id_col, vec_col
+        )
+    else:
+        pairs = cosine_pairs_exact(corpus, threshold, id_col, vec_col)
+    dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return corpus.join(dropped, id_col, "left_anti")

@@ -1387,6 +1387,187 @@ FROM ranked
 SQL_QUALITY_BUCKETS = _quality_buckets_sql()
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """RefinedWeb/CCNet paragraph-level dedup: cut every paragraph whose
+    document frequency ≥ 2, reassemble the remainder in order. The flat
+    testdata corpus has no newlines, so deterministic 6-token chunks stand
+    in as paragraphs (chunk_paragraphs) — the frequency/anti-join/
+    reassembly plan under test is identical to the real-corpus form."""
+    from starchart_spark.operators import paragraphs
+
+    chunks = paragraphs.chunk_paragraphs(
+        _t(spark, sf_dir, "documents"), chunk_tokens=6
+    )
+    return paragraphs.remove_frequent_paragraphs(chunks, min_df=2)
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(t, i*6+1, i*6+6), ' ')
+                 FOR i IN range(CAST(ceil(len(t)/6.0) AS BIGINT))]) AS para,
+         unnest(range(CAST(ceil(len(t)/6.0) AS BIGINT))) AS pidx
+  FROM toks
+), p AS (
+  SELECT * FROM chunks WHERE trim(para) <> ''
+), freq AS (
+  SELECT para FROM p GROUP BY para HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT p.* FROM p WHERE NOT EXISTS (SELECT 1 FROM freq f WHERE f.para = p.para)
+), rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pidx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+FROM (SELECT DISTINCT doc_id FROM p) d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR unigram importance weights (Xie et al. 2023): every document
+    scored by Σ ln p̂_target/p̂_raw over its token occurrences; the
+    in-domain target is the corpus's lang='en' slice, the raw pool is the
+    whole corpus. Exact-token form (the hashed-bucket variant is the same
+    plan behind a hash projection — selection.py module docstring)."""
+    from starchart_spark.operators import selection
+
+    docs = _t(spark, sf_dir, "documents")
+    return selection.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH rawt AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents WHERE trim(text) <> ''
+), tgtt AS (
+  SELECT r.doc_id, r.tok FROM rawt r
+  JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+), rc AS (
+  SELECT tok, count(*) AS c_raw FROM rawt GROUP BY tok
+), tc AS (
+  SELECT tok, count(*) AS c_tgt FROM tgtt GROUP BY tok
+), tot AS (
+  SELECT (SELECT sum(c_raw) FROM rc) AS n_raw,
+         (SELECT count(*) FROM rc) AS v,
+         (SELECT count(*) FROM tgtt) AS n_tgt
+), lr AS (
+  SELECT rc.tok,
+         round(ln((coalesce(tc.c_tgt, 0) + 0.5) / (tot.n_tgt + 0.5 * tot.v))
+               - ln((rc.c_raw + 0.5) / (tot.n_raw + 0.5 * tot.v)), 6) AS logratio
+  FROM rc LEFT JOIN tc USING (tok), tot
+)
+SELECT r.doc_id, round(sum(l.logratio), 6) AS weight
+FROM rawt r JOIN lr l USING (tok)
+GROUP BY r.doc_id
+"""
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Lee et al. 2022 duplicated-substring removal, fixed-L form: every
+    token covered by an 8-token window occurring ≥2 times corpus-wide is
+    cut, remainders rejoined in order. Position-free — catches templated
+    spans at different offsets that doc- and paragraph-dedup both miss."""
+    from starchart_spark.operators import substrings
+
+    return substrings.remove_duplicated_substrings(
+        _t(spark, sf_dir, "documents"), length=8, min_count=2
+    )
+
+
+SQL_SUBSTRING_DEDUP = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), win AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(t, i + 1, i + 8), ' ')
+                 FOR i IN range(0, len(t) - 7)]) AS gram,
+         unnest(range(0, len(t) - 7)) AS start
+  FROM base WHERE len(t) >= 8
+), freq AS (
+  SELECT gram FROM win GROUP BY gram HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT w.doc_id, w.start + u.o AS pos
+  FROM win w JOIN freq USING (gram)
+  CROSS JOIN (SELECT unnest(range(0, 8)) AS o) u
+), tokpos AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS pos FROM base
+), kept AS (
+  SELECT tp.* FROM tokpos tp WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = tp.doc_id AND c.pos = tp.pos)
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_lm_score(spark, sf_dir):
+    """CCNet's quality signal, Spark-native: per-document bigram
+    cross-entropy under an add-0.5-smoothed model trained on the corpus
+    itself (CCNet uses KenLM perplexity; same role, feed to
+    percentile_buckets for the head/middle/tail split)."""
+    from starchart_spark.operators import lm
+
+    return lm.lm_cross_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_LM_SCORE = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), bg AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+  FROM base WHERE len(t) >= 2
+), counts AS (
+  SELECT bigram, count(*) AS c_bg FROM bg GROUP BY bigram
+), ctx AS (
+  SELECT split_part(bigram, ' ', 1) AS ctx, sum(c_bg) AS c_ctx
+  FROM counts GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents WHERE trim(text) <> ''
+  )
+), model AS (
+  SELECT bigram, round(ln((c_bg + 0.5) / (c_ctx + 0.5 * v)), 6) AS logp
+  FROM counts JOIN ctx ON split_part(counts.bigram, ' ', 1) = ctx.ctx, vocab
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(-(sum(CAST(round(m.logp * 1e6) AS BIGINT)) / 1e6) / count(*), 6) AS ce
+FROM bg b JOIN model m USING (bigram)
+GROUP BY b.doc_id
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDedup-style embedding dedup through the PRODUCTION path: LSH
+    bucket-local pair mining (threshold 0.4, n_planes=2 — the recall
+    parameters already validated oracle-exact on cosine_pairs_lsh) → drop
+    the higher id of every pair. The oracle is the NOT EXISTS dominance
+    rule over exact cosine, so the full plan is verified end-to-end."""
+    from starchart_spark.operators import similarity
+
+    kept = similarity.semantic_dedup(
+        spark, _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=2
+    )
+    return kept.select("vec_id", "label")
+
+
+SQL_SEMANTIC_DEDUP = """
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM embeddings a
+  WHERE a.vec_id < e.vec_id
+    AND round(list_cosine_similarity(a.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) >= 0.4
+)
+"""
+
+
 def q_publiccode_roundtrip(spark, sf_dir):
     """N5/N6 federation gate: repo-shaped rows rendered to publiccode.yml
     (vectorized YAML) and ingested back — the projection through the real
@@ -1571,6 +1752,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

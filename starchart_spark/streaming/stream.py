@@ -438,3 +438,30 @@ def streaming_frontier_scheduler(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """Continuous exact dedup over an unbounded document stream: the
+    first-arriving instance of each text passes, later copies within the
+    watermark ``horizon`` are dropped, and per-key state is reclaimed once
+    the watermark passes it (``dropDuplicatesWithinWatermark`` — the
+    streaming form Spark provides exactly for this; plain
+    ``dropDuplicates`` would keep the key set forever).
+
+    Same key derivation as the batch ``dedup_text.exact_dedup`` — an
+    8-byte ``xxhash64(text)``, so state is 8 bytes + timestamp per
+    distinct doc, never the text. The horizon is the standard
+    scale/completeness dial: duplicates arriving further apart than the
+    horizon both survive (re-dedup batch-side downstream if that
+    matters); 10^10-doc streams bound their state store with it."""
+    return (
+        docs_stream.withColumn("text_key", F.xxhash64(F.col(text_col)))
+        .withWatermark(ts_col, horizon)
+        .dropDuplicatesWithinWatermark(["text_key"])
+        .drop("text_key")
+    )

@@ -219,3 +219,30 @@ def test_ivf_search_no_query_collect(spark, emb, tmp_path, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "toPandas", boom)
     assert plan.count() > 0
+
+
+def test_semantic_dedup_lsh_equals_exact_and_dominance(spark, emb):
+    """The production LSH path and the O(N²) exact path agree on the kept
+    set at the validated recall parameters, and the kept set satisfies the
+    dominance rule: no kept vec has a lower-id kept-or-dropped neighbor at
+    sim ≥ threshold (spot-checked via exact pairs)."""
+    corpus = emb.filter(F.col("vec_id") < 300)
+    kept_lsh = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            spark, corpus, threshold=0.4, n_planes=2
+        ).collect()
+    )
+    kept_exact = sorted(
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            spark, corpus, threshold=0.4, use_lsh=False
+        ).collect()
+    )
+    assert kept_lsh == kept_exact
+    # dominance: every dropped id has SOME lower-id neighbor >= t;
+    # every kept id has NONE
+    pairs = similarity.cosine_pairs_exact(corpus, 0.4).collect()
+    has_lower = {p.b_id for p in pairs}
+    all_ids = {r.vec_id for r in corpus.select("vec_id").collect()}
+    assert set(kept_exact) == all_ids - has_lower

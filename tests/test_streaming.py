@@ -276,3 +276,49 @@ def test_streaming_budget_real_stream_drains(spark, tmp_path):
     )
     # page 1: page fetch + 6 topics; page 2: sentinel fetch — each ONCE
     assert visits == [(1, i) for i in range(7)] + [(2, 0)]
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup ≡ batch exact_dedup on the same drop (single
+    watermark window), duplicates dropped across micro-batch boundaries."""
+    import pyspark.sql.functions as F
+    from starchart_spark.operators import dedup_text
+
+    rows = [
+        (1, "alpha text", "2026-01-01 00:00:01"),
+        (2, "beta text", "2026-01-01 00:00:02"),
+        (3, "alpha text", "2026-01-01 00:00:03"),  # dup of 1
+        (4, "gamma text", "2026-01-01 00:00:04"),
+        (5, "beta text", "2026-01-01 00:00:05"),   # dup of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    drop_dir = str(tmp_path / "docs")
+    # one file per row → several micro-batches under maxFilesPerTrigger=1
+    df.repartition(5, "doc_id").write.parquet(drop_dir)
+
+    src = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (
+        stream.streaming_exact_dedup(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_texts = sorted(r.text for r in spark.read.parquet(out_dir).collect())
+    assert got_texts == ["alpha text", "beta text", "gamma text"]
+    # batch parity on the surviving text set
+    batch_ids = dedup_text.exact_dedup(df.select("doc_id", "text"))
+    batch_texts = sorted(
+        r.text for r in df.join(batch_ids, "doc_id").select("text").collect()
+    )
+    assert batch_texts == got_texts
