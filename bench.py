@@ -78,6 +78,11 @@ HEADLINE_QUERIES = [
     "semantic_dedup",
     "lm_score",
     "substring_dedup",
+    # round-5 session-5: NB quality classifier (train+score, counting
+    # only), vocab build + id encoding, BM25 scored retrieval
+    "nb_classify",
+    "vocab_encode",
+    "bm25_rank",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

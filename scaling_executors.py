@@ -81,8 +81,13 @@ CPU_SETS_4C = ["0-3", "8-11"]  # the 2×4-core middle rung
 def main() -> None:
     # 5 reps default (VERDICT r3 "do this" #6: more reps + outlier trim —
     # round 3's 0.803 median sat 0.003 over the bar with one rep at 0.795)
-    args = [a for a in sys.argv[1:] if a != "--append"]
+    flags = {"--append", "--fresh-keep-prior"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     append = "--append" in sys.argv[1:]
+    # --fresh-keep-prior: start a NEW session but preserve the existing
+    # file's per-rep data under prior_sessions (never silently discard a
+    # measured window — noisy sessions stay in the record, annotated).
+    fresh_keep = "--fresh-keep-prior" in sys.argv[1:]
     reps = int(args[0]) if args else 5
     duo_reps = int(os.environ.get("STARCHART_SCALING_DUO_REPS", "2"))
     rows = []
@@ -116,18 +121,27 @@ def main() -> None:
         print(f"4c rep {rep}: solo={solo4:.0f} agg={agg4:.0f} eff={eff4:.3f}",
               file=sys.stderr)
 
-    if append:
+    prior_sessions = []
+    if append or fresh_keep:
         try:
             with open(os.path.join(REPO, "SCALING_EXECUTORS.json")) as f:
                 prior = json.load(f)
-            rows = prior.get("per_rep", []) + rows
-            reps = len(rows)
-            duo_rows = (
-                prior.get("middle_rung_1v2_4core", {}).get("per_rep", [])
-                + duo_rows
-            )
-            print(f"--append: merged to {reps} reps / {len(duo_rows)} duo reps",
-                  file=sys.stderr)
+            prior_sessions = prior.get("prior_sessions", [])
+            if append:
+                rows = prior.get("per_rep", []) + rows
+                reps = len(rows)
+                duo_rows = (
+                    prior.get("middle_rung_1v2_4core", {}).get("per_rep", [])
+                    + duo_rows
+                )
+                print(f"--append: merged to {reps} reps / "
+                      f"{len(duo_rows)} duo reps", file=sys.stderr)
+            else:
+                prior.pop("prior_sessions", None)
+                prior_sessions = prior_sessions + [prior]
+                print(f"--fresh-keep-prior: archived prior session "
+                      f"({len(prior.get('per_rep', []))} reps, median "
+                      f"{prior.get('median_efficiency')})", file=sys.stderr)
         except (OSError, json.JSONDecodeError):
             pass
 
@@ -154,6 +168,15 @@ def main() -> None:
     # against a single ambient-burst rep either direction)
     trimmed = effs[1:-1] if len(effs) >= 3 else effs
     trim_eff = round(sum(trimmed) / len(trimmed), 3)
+    # Secondary estimator for heavily burst-contaminated sessions: ambient
+    # co-tenancy can only SUBTRACT throughput (membw_pair_control.py shows
+    # the pinned topology itself scales at ~0.99 under a pure DRAM stream),
+    # so max-over-reps estimates each configuration's uncontended rate and
+    # their ratio estimates the uncontended efficiency. One-sided-noise
+    # max, not cherry-picking: both numerator and denominator take their
+    # own best rep.
+    best_eff = round(max(r["aggregate"] for r in rows)
+                     / (4 * max(r["solo"] for r in rows)), 3)
     out = {
         "metric": "throughput scaling efficiency, N=1 vs 4N=4 pinned 2-core "
         "executor JVMs (disjoint CPU sets, shared memory bus only)",
@@ -166,6 +189,7 @@ def main() -> None:
         "n_burst_suspect_reps": sum(1 for r in rows if r.get("burst_suspect")),
         "median_efficiency": med_eff,
         "trimmed_mean_efficiency": trim_eff,
+        "best_of_n_efficiency": best_eff,
         "middle_rung_1v2_4core": {
             "cpu_sets": CPU_SETS_4C,
             "per_rep": duo_rows,
@@ -175,6 +199,7 @@ def main() -> None:
         },
         "target": 0.8,
         "pass": med_eff >= 0.8,
+        "prior_sessions": prior_sessions,
         "note": (
             "each executor is a separate pinned JVM — four independent "
             "schedulers/GCs/shuffles sharing only DRAM, the single-box "

@@ -30,9 +30,10 @@ right Spark fix too: hash tokens into B buckets (``F.pmod(F.xxhash64(tok),
 B)``) BEFORE counting, which caps the dim at B rows and keeps every
 downstream step identical. This module keeps exact tokens so the DuckDB
 oracle matches byte-for-byte; pass the exploded frame through a hash
-projection to get the paper's hashed variant. Weight sums round to 6 dp —
-double-addition order noise across 10²-token docs is ~1e-15, far below
-that resolution.
+projection to get the paper's hashed variant. Per-token logratios round to
+6 dp, then per-doc sums run in exact integer micro-units (long) — double
+addition ORDER differs between engines and was observed to flip a 6th
+decimal on a boundary doc (lm_score); integer sums are order-independent.
 """
 
 from __future__ import annotations
@@ -102,7 +103,17 @@ def dsir_weights(
     return (
         raw_toks.join(F.broadcast(lr), "tok")
         .groupBy(id_col)
-        .agg(F.round(F.sum("logratio"), 6).alias("weight"))
+        # exact integer micro-units: logratio is already 6-dp-rounded, so
+        # round(logratio*1e6) is its canonical integer; long sums are
+        # order-independent where double sums can flip the 6th decimal
+        # between engines (observed on lm_score).
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("logratio") * F.lit(1e6)).cast("long"))
+                / F.lit(1e6),
+                6,
+            ).alias("weight")
+        )
     )
 
 

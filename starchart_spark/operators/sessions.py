@@ -39,7 +39,15 @@ def sessionize(
         df.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 6).alias("sum_value"),
+            # sum in exact integer micro-units: double-addition ORDER
+            # differs between engines and can flip the 6th rounded decimal
+            # on a boundary doc (observed on lm_score); each value rounds
+            # to 6 dp once, then the sum is an order-independent long.
+            F.round(
+                F.sum(F.round(F.col(value_col) * F.lit(1e6)).cast("long"))
+                / F.lit(1e6),
+                6,
+            ).alias("sum_value"),
         )
         .select(
             F.col(user_col),

@@ -1,0 +1,88 @@
+"""Vocabulary building and token-id encoding — tokenize for training.
+
+The step between curation and `packing.pack_sequences`: turn text into
+integer token-id sequences against a corpus-built vocabulary, the way a
+word-level tokenizer (word2vec, fastText, GloVe preprocessing) does.
+BPE subword merges are inherently sequential per word and live in the
+tokenizer-training tool, not the distributed engine; the engine-side
+contract — frequency-ranked vocab, OOV→unk, order-preserving id arrays,
+deterministic ties — is identical and is what this module implements.
+
+- :func:`build_vocab` — top-``max_size`` tokens by (count desc, token
+  asc), ids 1..V; id 0 is reserved for unk/OOV. The tie-break makes the
+  vocabulary a pure function of the corpus, so retrains are bit-stable.
+- :func:`encode` — (id, ids, n_tokens) with ``ids: array<int>`` in
+  original token order, OOV mapped to 0.
+
+Spark-first shape: the vocabulary is ONE hash aggregate + a rank over
+its own (tiny vs corpus) result; encoding is a posexplode → broadcast
+join on token → re-assemble with ``array_sort(collect_list(struct(pos,
+id)))`` — the struct sort keys on ``pos`` first, so the array rebuilds
+in document order without a window. One exchange on doc id, map-side
+partials, no Python.
+
+100 TB notes: the rank over token counts is a global sort of the
+VOCABULARY (millions of rows), not the corpus — negligible. The encode
+join broadcasts the vocab dim; if a pathological vocab exceeds
+broadcast range, drop the hint and AQE shuffle-joins on tok. The
+rebuilt arrays are the only wide payload and they stay columnar
+(Tungsten UnsafeArrayData) end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+UNK_ID = 0
+
+
+def build_vocab(
+    df: DataFrame,
+    max_size: int | None = None,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """(tok, tok_id, count) — frequency-ranked vocabulary, ids from 1.
+    ``min_count`` floors the long tail; ``max_size`` caps V (both are the
+    standard word-tokenizer knobs)."""
+    counts = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("tok_id", F.row_number().over(w))
+    if max_size is not None:
+        ranked = ranked.filter(F.col("tok_id") <= max_size)
+    return ranked.select("tok", "tok_id", "count")
+
+
+def encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, ids, n_tokens) — token-id array in document order, OOV→0.
+    Blank docs are absent (same contract as the other text operators)."""
+    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    return (
+        toks.join(F.broadcast(vocab.select("tok", "tok_id")), "tok", "left")
+        .withColumn("tok_id", F.coalesce(F.col("tok_id"), F.lit(UNK_ID)))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s.tok_id,
+            ).alias("ids"),
+            F.count("*").alias("n_tokens"),
+        )
+    )

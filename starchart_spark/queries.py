@@ -1232,7 +1232,7 @@ SELECT user_id,
        epoch_ms(min(ts)) AS session_start_ms,
        epoch_ms(max(ts) + INTERVAL 8 HOUR) AS session_end_ms,
        count(*) AS n_events,
-       round(sum(value), 6) AS sum_value
+       round(sum(CAST(round(value * 1e6) AS BIGINT)) / 1e6, 6) AS sum_value
 FROM s GROUP BY user_id, sid
 """
 
@@ -1458,7 +1458,8 @@ WITH rawt AS (
                - ln((rc.c_raw + 0.5) / (tot.n_raw + 0.5 * tot.v)), 6) AS logratio
   FROM rc LEFT JOIN tc USING (tok), tot
 )
-SELECT r.doc_id, round(sum(l.logratio), 6) AS weight
+SELECT r.doc_id,
+       round(sum(CAST(round(l.logratio * 1e6) AS BIGINT)) / 1e6, 6) AS weight
 FROM rawt r JOIN lr l USING (tok)
 GROUP BY r.doc_id
 """
@@ -1689,6 +1690,146 @@ FROM peer WHERE hostname NOT IN (SELECT hostname FROM mine)
 """
 
 
+def q_nb_classify(spark, sf_dir):
+    """Quality-classifier gate (fastText role, CCNet/GPT-3 appendix A):
+    multinomial Naive Bayes trained on the corpus's lang labels, every
+    document scored and argmax-classified. Training is pure counting, so
+    train AND score verify against one closed-form SQL oracle."""
+    from starchart_spark.operators import classify
+
+    docs = _t(spark, sf_dir, "documents").withColumn("label", F.col("lang"))
+    model, classes = classify.nb_train(docs, label_col="label")
+    return classify.nb_classify(docs, model, classes)
+
+
+SQL_NB_CLASSIFY = r"""
+WITH base AS (
+  SELECT doc_id, lang AS label, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, label, unnest(t) AS tok FROM base
+), counts AS (
+  SELECT tok, label, count(*) AS c FROM toks GROUP BY 1, 2
+), ctot AS (
+  SELECT label, sum(c) AS n_c FROM counts GROUP BY 1
+), vocab AS (
+  SELECT count(DISTINCT tok) AS v FROM counts
+), dpc AS (
+  SELECT label, count(*) AS n_docs FROM base GROUP BY 1
+), ntot AS (
+  SELECT sum(n_docs) AS n_total FROM dpc
+), model AS (
+  SELECT tok, counts.label,
+         CAST(round(ln((c + 0.5) / (n_c + 0.5 * v)) * 1e6) AS BIGINT) AS ll_u
+  FROM counts JOIN ctot ON counts.label = ctot.label, vocab
+), classes AS (
+  SELECT dpc.label,
+         CAST(round(ln(n_docs / n_total) * 1e6) AS BIGINT) AS prior_u,
+         CAST(round(ln(0.5 / (n_c + 0.5 * v)) * 1e6) AS BIGINT) AS floor_u
+  FROM dpc JOIN ctot ON dpc.label = ctot.label, ntot, vocab
+), occ AS (
+  SELECT doc_id, unnest(t) AS tok FROM base
+), scored AS (
+  SELECT occ.doc_id, c.label,
+         any_value(c.prior_u) + sum(coalesce(m.ll_u, c.floor_u)) AS score_u
+  FROM occ CROSS JOIN classes c
+  LEFT JOIN model m ON m.tok = occ.tok AND m.label = c.label
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT doc_id, label, score_u,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_u DESC, label ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, label AS predicted, round(score_u / 1e6, 6) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_vocab_encode(spark, sf_dir):
+    """Tokenize-for-training: frequency-ranked 32-token vocabulary
+    (deterministic ties) + every document encoded to its id sequence,
+    OOV→0; the id array stringifies so the driver's value hash sees a
+    scalar."""
+    from starchart_spark.operators import vocab
+
+    docs = _t(spark, sf_dir, "documents")
+    v = vocab.build_vocab(docs, max_size=32)
+    enc = vocab.encode(docs, v)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("ids").cast("array<string>"), " ").alias("ids_str"),
+    )
+
+
+SQL_VOCAB_ENCODE = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(range(1, len(t) + 1)) AS pos
+  FROM base
+), counts AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), vocab AS (
+  SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS tok_id
+  FROM counts QUALIFY tok_id <= 32
+)
+SELECT doc_id, count(*) AS n_tokens,
+       string_agg(CAST(coalesce(v.tok_id, 0) AS VARCHAR), ' ' ORDER BY pos)
+         AS ids_str
+FROM toks LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id
+"""
+
+
+def q_bm25_rank(spark, sf_dir):
+    """Scored full-text retrieval: BM25 (Lucene idf variant) top-15 for a
+    3-term query over the documents corpus — the relevance-ranked form of
+    the reference's FTS match surface (db/db-sqlx-sqlite/src/lib.rs FTS
+    MATCH), expressed as two hash aggregates + broadcast dims."""
+    from starchart_spark.operators import ranking
+
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.bm25_topk(docs, ["spark", "vector", "hash"], k=15)
+
+
+SQL_BM25_RANK = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT doc_id, unnest(t) AS tok FROM base
+), postings AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS total_len FROM doclen
+), q AS (
+  SELECT unnest(['spark', 'vector', 'hash']) AS tok
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM postings JOIN q USING (tok) GROUP BY 1
+), idf AS (
+  SELECT tok, round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+  FROM dfreq, stats
+), term AS (
+  SELECT p.doc_id,
+         CAST(round(i.idf * (p.tf * (1.2 + 1.0))
+                    / (p.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * d.dl
+                                       / (s.total_len * 1.0 / s.n_docs)))
+                    * 1e6) AS BIGINT) AS term_u
+  FROM postings p JOIN idf i USING (tok) JOIN doclen d USING (doc_id), stats s
+)
+SELECT doc_id, round(sum(term_u) / 1e6, 6) AS score
+FROM term GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1757,6 +1898,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
+    "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
+    "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),
