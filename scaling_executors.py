@@ -64,6 +64,15 @@ def result(proc: subprocess.Popen) -> float:
     return float(json.loads(line)["value"])
 
 
+def steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (jiffies) from /proc/stat — the
+    direct sensor for the co-tenant CPU contention that the DRAM probe
+    can only infer. Deltas are recorded per phase; cpu_pair_control.py
+    showed per-instance compute rate swings ±25% with this counter."""
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
 def membw_probe() -> float:
     """Single-process DRAM stream-copy GB/s (membw.py, ~3 s) run before
     each rep: a rep whose baseline deviates >20% from the session median
@@ -81,33 +90,71 @@ CPU_SETS_4C = ["0-3", "8-11"]  # the 2×4-core middle rung
 def main() -> None:
     # 5 reps default (VERDICT r3 "do this" #6: more reps + outlier trim —
     # round 3's 0.803 median sat 0.003 over the bar with one rep at 0.795)
-    flags = {"--append", "--fresh-keep-prior"}
+    flags = {"--append", "--fresh-keep-prior", "--gated"}
     args = [a for a in sys.argv[1:] if a not in flags]
     append = "--append" in sys.argv[1:]
     # --fresh-keep-prior: start a NEW session but preserve the existing
     # file's per-rep data under prior_sessions (never silently discard a
     # measured window — noisy sessions stay in the record, annotated).
     fresh_keep = "--fresh-keep-prior" in sys.argv[1:]
+    # --gated: wait for a clean ambient window BEFORE each rep — probe the
+    # DRAM baseline every 2 min and only fire when it reads >= the gate
+    # (defaults to 16.0 GB/s, ~95% of this box's unloaded 16.9-17.0).
+    # Gating on detector health BEFORE measuring is protocol-sound in a
+    # way post-hoc exclusion is not: the decision to measure never sees
+    # the measurement. Reps still record pre+post probes, so a burst that
+    # STARTS mid-rep remains identifiable.
+    gated = "--gated" in sys.argv[1:]
+    gate_gb_s = float(os.environ.get("STARCHART_SCALING_GATE_GB_S", "16.0"))
+    gate_timeout_s = float(
+        os.environ.get("STARCHART_SCALING_GATE_TIMEOUT_S", "3600")
+    )
+
+    def wait_for_clean_window() -> bool:
+        """Poll until the box reads clean or the budget runs out."""
+        import time as _time
+
+        t0 = _time.time()
+        while _time.time() - t0 < gate_timeout_s:
+            p = membw_probe()
+            if p >= gate_gb_s:
+                return True
+            print(f"gate: probe {p:.1f} < {gate_gb_s} GB/s, waiting...",
+                  file=sys.stderr)
+            _time.sleep(120)
+        return False
     reps = int(args[0]) if args else 5
     duo_reps = int(os.environ.get("STARCHART_SCALING_DUO_REPS", "2"))
     rows = []
     for rep in range(reps):
+        if gated and not wait_for_clean_window():
+            print(f"gate: no clean window within {gate_timeout_s}s budget, "
+                  f"stopping at {rep} reps", file=sys.stderr)
+            break
         probe = membw_probe()
+        st0 = steal_jiffies()
         solo = result(launch(CPU_SETS[0], "solo"))
+        st1 = steal_jiffies()
         quad_procs = [launch(cs, f"q{i}") for i, cs in enumerate(CPU_SETS)]
         quad = [result(p) for p in quad_procs]
+        st2 = steal_jiffies()
         probe_post = membw_probe()
         agg = sum(quad)
         eff = agg / (4 * solo)
         rows.append({"solo": solo, "quad": quad, "aggregate": agg,
                      "efficiency": round(eff, 3), "membw_gb_s": probe,
-                     "membw_post_gb_s": probe_post})
+                     "membw_post_gb_s": probe_post,
+                     "steal_jiffies_solo_phase": st1 - st0,
+                     "steal_jiffies_quad_phase": st2 - st1})
         print(f"rep {rep}: solo={solo:.0f} agg={agg:.0f} eff={eff:.3f} "
-              f"membw={probe:.0f}/{probe_post:.0f}", file=sys.stderr)
+              f"membw={probe:.0f}/{probe_post:.0f} "
+              f"steal={st1 - st0}/{st2 - st1}", file=sys.stderr)
     # middle rung: N=1 vs 2N=2 pinned 4-core executor JVMs — shows the
     # efficiency trend between the 1x and 4x points isn't knife-edge
     duo_rows = []
     for rep in range(duo_reps):
+        if gated and not wait_for_clean_window():
+            break
         env4 = {"SPARK_GRAFT_CPUS": "4", "STARCHART_DRIVER_MEM": "16g"}
         solo4 = result(launch_with(CPU_SETS_4C[0], "solo4", env4))
         duo_procs = [
@@ -121,6 +168,10 @@ def main() -> None:
         print(f"4c rep {rep}: solo={solo4:.0f} agg={agg4:.0f} eff={eff4:.3f}",
               file=sys.stderr)
 
+    if not rows and not append:
+        print("no reps measured; leaving SCALING_EXECUTORS.json untouched",
+              file=sys.stderr)
+        return
     prior_sessions = []
     if append or fresh_keep:
         try:
