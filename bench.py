@@ -75,7 +75,11 @@ HEADLINE_QUERIES = [
     # round-5 session-4: paragraph-level dedup, DSIR selection, SemDedup
     "paragraph_dedup",
     "dsir_weights",
-    "semantic_dedup",
+    # SemDedup headline is the within-cluster scale path: global dominance
+    # at cos 0.4 defeats hyperplane LSH selectivity (BENCH.md round 5 —
+    # k=2/L=32 enumerated ~650M candidates at 12.8k vectors, brute force
+    # with LSH overhead); the global form stays driver-gated at sf0.01.
+    "semantic_dedup_scale",
     "lm_score",
     "substring_dedup",
     # round-5 session-5: NB quality classifier (train+score, counting

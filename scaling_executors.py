@@ -30,7 +30,14 @@ import sys
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CPU_SETS = ["0-1", "8-9", "16-17", "24-25"]
-N_URLS = 50_000_000
+# 50M default (the round-3..5 protocol). Short-phase variant: the box's
+# ambient bursts run tens of minutes — the same timescale as a 50M phase —
+# so a rep's solo and quad phases often land in DIFFERENT ambient states
+# and the ratio doesn't cancel the burst. Shrinking n_urls shrinks the
+# phase to ~1/4 of the burst timescale, so adjacent phases share ambient
+# state and the per-rep ratio cancels it to first order.
+N_URLS = int(os.environ.get("STARCHART_SCALING_URLS", str(50_000_000)))
+OUT_FILE = os.environ.get("STARCHART_SCALING_OUT", "SCALING_EXECUTORS.json")
 
 
 def launch_with(cpuset: str, tag: str, overrides: dict | None = None) -> subprocess.Popen:
@@ -175,7 +182,7 @@ def main() -> None:
     prior_sessions = []
     if append or fresh_keep:
         try:
-            with open(os.path.join(REPO, "SCALING_EXECUTORS.json")) as f:
+            with open(os.path.join(REPO, OUT_FILE)) as f:
                 prior = json.load(f)
             prior_sessions = prior.get("prior_sessions", [])
             if append:
@@ -258,9 +265,11 @@ def main() -> None:
             "and quad cancels the box's ambient bursts"
         ),
     }
-    with open(os.path.join(REPO, "SCALING_EXECUTORS.json"), "w") as f:
+    with open(os.path.join(REPO, OUT_FILE), "w") as f:
         json.dump(out, f, indent=2)
     try:
+        if OUT_FILE != "SCALING_EXECUTORS.json":
+            raise OSError("variant run: do not touch SCALING.json")
         with open(os.path.join(REPO, "SCALING.json")) as f:
             sc = json.load(f)
         sc["executor_scaling"] = {

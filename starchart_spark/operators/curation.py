@@ -81,11 +81,9 @@ def _ensure_min_partitions(df: DataFrame) -> DataFrame:
     parallelism) — so the shuffle this inserts is bounded by construction
     to toy inputs, never the at-scale path.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
-    return df
+    from starchart_spark.operators import text as text_ops
+
+    return text_ops.ensure_min_partitions(df)
 
 
 def _ngram_array(text_col: Column, n: int) -> Column:

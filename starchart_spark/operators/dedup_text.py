@@ -50,19 +50,20 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = SHINGLE_N) -> DataFrame:
-    """Distinct token n-gram shingles per document: (id, shingle)."""
+    """Distinct token n-gram shingles per document: (id, shingle).
+
+    Windows build via ``text.sliding_ngrams`` (zip_with over slices —
+    O(tokens)/doc; the previous transform+element_at lambda re-split the
+    text per element per gram position, O(n·tokens²)/doc interpreted)."""
+    from starchart_spark.operators import text as text_ops
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
+        F.size(toks) >= n, text_ops.sliding_ngrams(toks, n)
     ).otherwise(F.array().cast("array<string>"))  # docs shorter than n: no shingles
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        text_ops.ensure_min_partitions(df)
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .dropDuplicates([id_col, "shingle"])
     )
 

@@ -44,16 +44,20 @@ from pyspark.sql import functions as F
 def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, bigram) — one row per bigram OCCURRENCE, ``"v w"`` string keys
     (the same join-key shape as dedup_text shingles). Docs with < 2 tokens
-    have no bigrams and drop out here."""
+    have no bigrams and drop out here. Windows build via
+    ``text.sliding_ngrams`` (zip_with over slices — O(tokens)/doc; a
+    transform+element_at lambda re-splits per element, O(tokens²)/doc)."""
+    from starchart_spark.operators import text as text_ops
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
     return (
-        df.filter(F.trim(F.col(text_col)) != "")
-        .filter(F.size(toks) >= 2)
-        .select(F.col(id_col), F.explode(grams).alias("bigram"))
+        text_ops.ensure_min_partitions(
+            df.filter(F.trim(F.col(text_col)) != "").filter(F.size(toks) >= 2)
+        )
+        .select(
+            F.col(id_col),
+            F.explode(text_ops.sliding_ngrams(toks, 2)).alias("bigram"),
+        )
     )
 
 

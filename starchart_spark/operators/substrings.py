@@ -59,15 +59,24 @@ def gram_windows(
 ) -> DataFrame:
     """(id, start, gram) — every L-token window, 0-based start; docs
     shorter than L have no windows."""
+    from starchart_spark.operators import text as text_ops
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - length),
-        lambda i: F.array_join(F.slice(toks, i + 1, length), " "),
-    )
     return (
-        df.filter(F.trim(F.col(text_col)) != "")
-        .filter(F.size(toks) >= length)
-        .select(F.col(id_col), F.posexplode(grams).alias("start", "gram"))
+        text_ops.ensure_min_partitions(
+            df.filter(F.trim(F.col(text_col)) != "").filter(
+                F.size(toks) >= length
+            )
+        )
+        .select(
+            F.col(id_col),
+            # zip_with-over-slices windows: O(tokens)/doc; the previous
+            # transform lambda re-ran slice(split(text)) per position,
+            # O(tokens²)/doc interpreted
+            F.posexplode(text_ops.sliding_ngrams(toks, length)).alias(
+                "start", "gram"
+            ),
+        )
     )
 
 

@@ -45,6 +45,48 @@ def token_count(text_col: Column | str) -> Column:
     return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(tokens(c)))
 
 
+def sliding_ngrams(toks: Column, n: int, sep: str = " ") -> Column:
+    """All n-token windows of a token-array column, in order.
+
+    O(tokens) per row. The construction matters: higher-order-function
+    lambdas run INTERPRETED and re-evaluate any captured expression once
+    PER ELEMENT — `transform(sequence(...), i -> element_at(split(text),
+    i))` re-runs the regex split for every window position, O(len²) per
+    document (measured: a 270k-token corpus spent 5.4 s in one explode).
+    Here the windows build through n-1 `zip_with` passes whose ARRAY
+    arguments (slices of the token array) evaluate once per row; the
+    lambda itself only concatenates its two arguments.
+
+    Caller contract: only evaluate on rows with size(toks) >= n (wrap in
+    a filter or a when() guard) — shorter rows would hand slice() a
+    non-positive length.
+    """
+    m = F.size(toks) - (n - 1)
+    out = F.slice(toks, 1, m)
+    for j in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, 1 + j, m), lambda a, b: F.concat_ws(sep, a, b)
+        )
+    return out
+
+
+def ensure_min_partitions(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is under-parallel.
+
+    Token/shingle explodes multiply rows ~tokens-per-doc×; when the input
+    is a single small file (the bench/test box), that CPU burn lands on
+    one task. A real 100 TB corpus arrives as ~10^5 input splits and this
+    is a no-op (guard: input partitions already ≥ half the cluster's
+    parallelism) — the shuffle is bounded by construction to toy inputs,
+    never the at-scale path.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(text_col: Column | str) -> Column:
     """Canonical text form for dedup keys: lowercase, control characters
     and zero-width marks stripped, all whitespace runs collapsed to one

@@ -1569,6 +1569,40 @@ WHERE NOT EXISTS (
 """
 
 
+def q_semantic_dedup_scale(spark, sf_dir):
+    """SemDedup in the paper's within-cluster form — the scale path:
+    sign-bit cells (2^6), dominance inside a cell only. The oracle
+    reproduces the bucketing itself, so the driver verifies the actual
+    algorithm (cross-cell misses included), not a recall argument."""
+    from starchart_spark.operators import similarity
+
+    kept = similarity.semantic_dedup_bucketed(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, sign_dims=6
+    )
+    return kept.select("vec_id", "label")
+
+
+SQL_SEMANTIC_DEDUP_SCALE = """
+WITH sig AS (
+  SELECT vec_id, label, embedding,
+         CAST(embedding[1] >= 0 AS BIGINT) * 32
+         + CAST(embedding[2] >= 0 AS BIGINT) * 16
+         + CAST(embedding[3] >= 0 AS BIGINT) * 8
+         + CAST(embedding[4] >= 0 AS BIGINT) * 4
+         + CAST(embedding[5] >= 0 AS BIGINT) * 2
+         + CAST(embedding[6] >= 0 AS BIGINT) AS cell
+  FROM embeddings
+)
+SELECT s.vec_id, s.label FROM sig s
+WHERE NOT EXISTS (
+  SELECT 1 FROM sig a
+  WHERE a.cell = s.cell AND a.vec_id < s.vec_id
+    AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     s.embedding::DOUBLE[]), 6) >= 0.4
+)
+"""
+
+
 def q_publiccode_roundtrip(spark, sf_dir):
     """N5/N6 federation gate: repo-shaped rows rendered to publiccode.yml
     (vectorized YAML) and ingested back — the projection through the real
@@ -2002,6 +2036,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "semantic_dedup_scale": (q_semantic_dedup_scale, SQL_SEMANTIC_DEDUP_SCALE),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
