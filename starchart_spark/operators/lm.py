@@ -14,9 +14,9 @@ fluent under the reference corpus — feed it to
 CCNet head/middle/tail split.
 
 Spark-first shape, all JVM:
-- bigrams come out of ONE explode per use (token shingles via
-  ``transform(sequence(...))`` — the exact shape dedup_text's shingling
-  already uses);
+- bigrams come out of ONE explode per use (``text.sliding_ngrams``
+  zip_with-over-slices windows — O(tokens)/doc, shared with dedup_text
+  shingling and substrings gram windows);
 - the model is two aggregates: bigram counts, and the context totals
   c(v,·) derived FROM the bigram dim (one more tiny aggregate), so the
   two are consistent by construction;

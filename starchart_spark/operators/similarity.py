@@ -872,10 +872,18 @@ def semantic_dedup(
     wanted). Dominance is exactly expressible as NOT EXISTS in SQL, which
     makes the FULL production plan oracle-checkable.
 
+    SCALE CAVEAT: global dominance at a LOW threshold is structurally
+    hostile to hyperplane LSH — at cos 0.4 the per-plane collision gap is
+    0.631 (true pair) vs 0.500 (random pair), so recall-preserving
+    (k, L) settings admit nearly every far pair as a candidate (measured:
+    ~650M candidate rows at 12.8k vectors — brute force with LSH overhead
+    on top). Use :func:`semantic_dedup_bucketed` — the SemDedup paper's
+    own within-cluster form — as the production path; this global form is
+    the exactness gate at verification scale and is fine at HIGH
+    thresholds (≥0.8) where the per-plane gap amplifies.
+
     Plan: pair mining via :func:`cosine_pairs_lsh` (bucket-local
-    candidates, exact JVM rerank — never all-pairs; the SemDedup paper's
-    k-means bucketing and LSH bucketing play the same role: only
-    plausibly-close pairs are scored) → the higher id of every surviving
+    candidates, exact JVM rerank) → the higher id of every surviving
     pair is dropped via ONE broadcast-able anti-join on the corpus scan.
     ``use_lsh=False`` swaps in the O(N²) exact pair miner for small-N
     verification; at the recall parameters documented on
