@@ -71,11 +71,17 @@ def scaled_salt(
 def ranked_by_host(
     df: DataFrame,
     host_col: str,
-    order_col: str,
+    order_col: str | Sequence[str],
     out_col: str = "host_rank",
     num_partitions: int | None = None,
+    ascending: bool | Sequence[bool] = True,
 ) -> DataFrame:
     """Skew-proof per-host dense ranking (1-based) by ``order_col``.
+
+    ``order_col`` may be a single column or a composite key (e.g. the
+    priority queue's ``(priority DESC, page ASC)``); ``ascending`` applies
+    per column. Both the range partitioner and the local window use the
+    same sort order, so ranks stay globally consistent.
 
     A plain ``row_number() over (partition by host order by k)`` sorts each
     host inside ONE task — a mega-forge with 10^8 frontier rows becomes a
@@ -94,8 +100,15 @@ def ranked_by_host(
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    asc_flags = (
+        [ascending] * len(order_cols) if isinstance(ascending, bool) else list(ascending)
+    )
+    order_exprs = [
+        F.col(c).asc() if a else F.col(c).desc() for c, a in zip(order_cols, asc_flags)
+    ]
     ranged = df.repartitionByRange(
-        num_partitions, F.col(host_col), F.col(order_col)
+        num_partitions, F.col(host_col), *order_exprs
     ).withColumn("__pid", F.spark_partition_id())
     ranged = ranged.persist()
     counts = ranged.groupBy("__pid", host_col).agg(F.count(F.lit(1)).alias("__cnt"))
@@ -111,7 +124,7 @@ def ranked_by_host(
         "__pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
     )
-    w = Window.partitionBy("__pid", host_col).orderBy(F.col(order_col).asc())
+    w = Window.partitionBy("__pid", host_col).orderBy(*order_exprs)
     out = (
         ranged.withColumn("__local", F.row_number().over(w))
         .join(F.broadcast(off_df), ["__pid", host_col])
