@@ -498,6 +498,262 @@ FROM d
 """
 
 
+# --- robots.txt (north rule: "robots.txt honored") -------------------------
+# Shared synthetic robots corpus: 5 per-host bodies keyed off region (both
+# engines embed the SAME literals), exercising every RFC 9309 semantic the
+# operator implements — group selection (specific beats *, consecutive UA
+# headers, same-agent merge), longest-match-wins, allow-on-tie, * wildcard,
+# $ anchor, orphan rules, empty patterns, comments/case/whitespace, repeated
+# and non-numeric crawl-delays. The oracle is the IDENTICAL relational parse
+# in DuckDB SQL (explode → window cumsum gids → group selection → compile →
+# gate), not a closed-form inversion.
+_ROBOTS_UA = "starchart"
+
+_ROBOTS_BODIES = [
+    # h0: specific group beats *, longest-match, allow-on-tie
+    "# robots for h0\n"
+    "User-agent: starchart\n"
+    "Disallow: /private/\n"
+    "Allow: /private/pub/\n"
+    "Allow: /tie\n"
+    "Disallow: /tie\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n",
+    # h1: wildcard group applies (no specific); * and $ patterns; crawl-delay
+    "User-agent: other\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /*.json$\n"
+    "Disallow: /tmp*/\n"
+    "Crawl-delay: 2.5\n",
+    # h2: consecutive UA headers share a group; same-agent groups merge;
+    # repeated crawl-delays take the max
+    "User-agent: gptbot\n"
+    "User-agent: starchart\n"
+    "Disallow: /a/\n"
+    "\n"
+    "User-agent: starchart\n"
+    "Disallow: /b/\n"
+    "Crawl-delay: 1\n"
+    "Crawl-delay: 7\n",
+    # h3: disallow-all
+    "User-agent: *\nDisallow: /\n",
+    # h4: orphan rules ignored, empty pattern dropped, case/whitespace mess,
+    # inline comment, non-numeric crawl-delay ignored
+    "Disallow: /orphan/\n"
+    "USER-AGENT: STARCHART\n"
+    "  disallow:\n"
+    "\tDisAllow: /d/  # tail comment\n"
+    "Crawl-delay: nope\n",
+]
+
+_ROBOTS_PATHS = [
+    "/private/x", "/private/pub/x", "/tie/x", "/a/x", "/b/x",
+    "/data/f.json", "/data/f.json?v=1", "/tmp123/f", "/tmpfile",
+    "/d/x", "/orphan/x", "/ok/x",
+]
+
+
+def _robots_bodies_df(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    body = F.lit(_ROBOTS_BODIES[-1])
+    for i in range(len(_ROBOTS_BODIES) - 2, -1, -1):
+        body = F.when(F.col("r_regionkey") == i, F.lit(_ROBOTS_BODIES[i])).otherwise(body)
+    return region.select(
+        F.concat(F.lit("h"), F.col("r_regionkey").cast("string")).alias("hostname"),
+        body.alias("robots_txt"),
+    )
+
+
+def _robots_bodies_sql() -> str:
+    cases = " ".join(
+        f"WHEN {i} THEN '{b}'" for i, b in enumerate(_ROBOTS_BODIES)
+    )
+    return (
+        "SELECT 'h' || r_regionkey AS hostname, "
+        f"CASE r_regionkey {cases} END AS robots_txt FROM region"
+    )
+
+
+def _robots_chosen_sql() -> str:
+    """The relational RFC 9309 parse, DuckDB formulation — CTE chain up to
+    the chosen-group directive lines (mirrors robots._chosen_directives
+    step for step)."""
+    ua = _ROBOTS_UA
+    return f"""
+bodies AS ({_robots_bodies_sql()}),
+lines AS (
+  SELECT hostname,
+         unnest(list_transform(string_split(robots_txt, chr(10)),
+                               (x, i) -> {{'pos': i, 'raw': x}}),
+                recursive := true)
+  FROM bodies
+),
+fielded0 AS (
+  SELECT hostname, pos,
+         regexp_replace(regexp_replace(raw, '#.*', ''), '^\\s+|\\s+$', '', 'g')
+           AS clean
+  FROM lines
+),
+fielded AS (
+  SELECT hostname, pos,
+    lower(regexp_replace(regexp_extract(clean, '^([^:]+):', 1),
+                         '^\\s+|\\s+$', '', 'g')) AS field,
+    regexp_replace(regexp_extract(clean, '^[^:]+:(.*)$', 1),
+                   '^\\s+|\\s+$', '', 'g') AS value
+  FROM fielded0
+),
+directive AS (
+  SELECT * FROM fielded
+  WHERE field IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+),
+marked AS (
+  SELECT *, CASE WHEN field = 'user-agent'
+                  AND coalesce(lag(field) OVER (PARTITION BY hostname ORDER BY pos), '')
+                      <> 'user-agent'
+            THEN 1 ELSE 0 END AS is_new
+  FROM directive
+),
+grouped AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY hostname ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM marked
+),
+sel AS (
+  SELECT *,
+    max(CASE WHEN field = 'user-agent' AND lower(value) = '{ua}' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY hostname, gid) AS g_spec,
+    max(CASE WHEN field = 'user-agent' AND value = '*' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY hostname, gid) AS g_wild,
+    max(CASE WHEN field = 'user-agent' AND lower(value) = '{ua}' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY hostname) AS h_spec
+  FROM grouped
+),
+chosen AS (
+  SELECT * FROM sel WHERE g_spec = 1 OR (h_spec = 0 AND g_wild = 1)
+)"""
+
+
+def _robots_rx_sql() -> str:
+    """Pattern → regex compile chain, same replace order as
+    robots._ESCAPES (imported, so the two can never drift)."""
+    from starchart_spark.operators.robots import _ESCAPES
+
+    esc = "base"
+    for ch in _ESCAPES:
+        esc = f"replace({esc}, '{ch}', '\\{ch}')"
+    return (
+        f"'^' || replace({esc}, '*', '.*') || "
+        "CASE WHEN ends_with(pattern, '$') THEN '$' ELSE '' END"
+    )
+
+
+def q_robots_gate(spark, sf_dir):
+    """RFC 9309 robots gate: per-URL allow/deny over per-host rule dims —
+    parse → compile → broadcast gate (operators/robots.py; north rule
+    "robots.txt honored"). Frontier paths synthesized from documents."""
+    from starchart_spark.operators import robots as rob
+
+    dim = rob.rules_dim(
+        rob.compile_rules(rob.parse_robots(_robots_bodies_df(spark, sf_dir), _ROBOTS_UA))
+    )
+    path = F.lit(_ROBOTS_PATHS[-1])
+    for i in range(len(_ROBOTS_PATHS) - 2, -1, -1):
+        path = F.when(F.col("doc_id") % 12 == i, F.lit(_ROBOTS_PATHS[i])).otherwise(path)
+    frontier = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias("hostname"),
+        path.alias("path"),
+    )
+    return rob.robots_gate(frontier, dim).select(
+        "doc_id", "hostname", "path", "robots_allowed"
+    )
+
+
+def _sql_robots_gate() -> str:
+    path_cases = " ".join(
+        f"WHEN {i} THEN '{p}'" for i, p in enumerate(_ROBOTS_PATHS)
+    )
+    return f"""
+WITH {_robots_chosen_sql()},
+rules AS (
+  SELECT hostname, field = 'allow' AS allow, value AS pattern
+  FROM chosen WHERE field IN ('allow', 'disallow') AND value <> ''
+),
+based AS (
+  SELECT *, CASE WHEN ends_with(pattern, '$')
+                 THEN substr(pattern, 1, length(pattern) - 1)
+                 ELSE pattern END AS base
+  FROM rules
+),
+compiled AS (
+  SELECT hostname, allow, pattern, length(pattern) AS plen,
+         NOT contains(pattern, '*') AND NOT ends_with(pattern, '$') AS is_plain,
+         {_robots_rx_sql()} AS rx
+  FROM based
+),
+frontier AS (
+  SELECT doc_id, 'h' || (doc_id % 7) AS hostname,
+         CASE doc_id % 12 {path_cases} END AS path
+  FROM documents
+),
+matches AS (
+  SELECT f.doc_id, f.hostname, f.path, c.plen, c.allow
+  FROM frontier f LEFT JOIN compiled c
+    ON f.hostname = c.hostname
+   AND CASE WHEN c.is_plain THEN starts_with(f.path, c.pattern)
+            ELSE regexp_matches(f.path, c.rx) END
+)
+SELECT doc_id, hostname, path,
+  coalesce(max(plen * 2 + CASE WHEN allow THEN 1 ELSE 0 END) % 2 = 1, TRUE)
+    AS robots_allowed
+FROM matches GROUP BY doc_id, hostname, path
+"""
+
+
+def q_robots_crawl_delay(spark, sf_dir):
+    """robots crawl-delay → politeness rate merge: per-host
+    greatest(consent rate, crawl-delay), most-conservative on repeats,
+    non-numeric delays ignored (operators/robots.py)."""
+    from starchart_spark.operators import robots as rob
+
+    delays = rob.parse_crawl_delay(_robots_bodies_df(spark, sf_dir), _ROBOTS_UA)
+    region = _t(spark, sf_dir, "region")
+    consented = region.select(
+        F.concat(F.lit("h"), F.col("r_regionkey").cast("string")).alias("hostname"),
+        (F.lit(1000) + F.col("r_regionkey") * 500).cast("long").alias("effective_rate_ms"),
+    )
+    return rob.merge_crawl_delay(consented, delays)
+
+
+def _sql_robots_crawl_delay() -> str:
+    return f"""
+WITH {_robots_chosen_sql()},
+delays AS (
+  SELECT hostname,
+         CAST(max(TRY_CAST(value AS DOUBLE)) * 1000 AS BIGINT) AS crawl_delay_ms
+  FROM chosen
+  WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) IS NOT NULL
+  GROUP BY hostname
+),
+consented AS (
+  SELECT 'h' || r_regionkey AS hostname,
+         CAST(1000 + r_regionkey * 500 AS BIGINT) AS effective_rate_ms
+  FROM region
+)
+SELECT c.hostname,
+       greatest(c.effective_rate_ms, coalesce(d.crawl_delay_ms, 0))
+         AS effective_rate_ms
+FROM consented c LEFT JOIN delays d USING (hostname)
+"""
+
+
+SQL_ROBOTS_GATE = _sql_robots_gate()
+SQL_ROBOTS_CRAWL_DELAY = _sql_robots_crawl_delay()
+
+
 def q_epoch_days(spark, sf_dir):
     """N8: epoch timestamps → day buckets, counted."""
     return (
@@ -1997,6 +2253,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "empty_is_none": (q_empty_is_none, SQL_EMPTY_IS_NONE),
     "props_parse": (q_props_parse, SQL_PROPS_PARSE),
     "txt_consent": (q_txt_consent, SQL_TXT_CONSENT),
+    "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
+    "robots_crawl_delay": (q_robots_crawl_delay, SQL_ROBOTS_CRAWL_DELAY),
     "epoch_days": (q_epoch_days, SQL_EPOCH_DAYS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),
