@@ -86,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         F.sum("fetched").alias("fetched"),
         F.sum("deduped").alias("deduped"),
         F.sum("deferred_by_politeness").alias("deferred_by_politeness"),
+        F.sum("blocked_by_robots").alias("blocked_by_robots"),
     ).collect()[0]
     out = {
         **stats,

@@ -59,7 +59,14 @@ from starchart_spark import tables
 from starchart_spark.functions.urls import canonicalize_udf, host_bucket, url_hash
 from starchart_spark.operators import bloom as bloom_mod
 from starchart_spark.operators import dedup, normalize, politeness, skew
+from starchart_spark.operators import robots as robots_mod
 from starchart_spark.snapstore import SnapshotTable, _key_join, multi_commit
+
+# RFC 9309 product token the engine selects robots.txt groups for — the
+# package-name component of the reference UA (crawl/fetcher.py builds
+# "{version}---starchart---{host}"; robots group matching is on the product
+# token, not the full UA string).
+ROBOTS_UA = "starchart"
 
 # seen-key hash preimage separator. \x01 cannot occur in hostnames or names,
 # so (kind, hostname, key1, key2) → string is injective. MUST be the same at
@@ -228,6 +235,12 @@ class CrawlEngine:
         # persisted per-bucket bloom filters, maintained incrementally
         # (O(new keys) per batch — never rebuilt from the full seen set)
         self.bloom_state = t("bloom_state", bloom_mod.FILTER_SCHEMA, ["host_bucket"])
+        # compiled robots.txt rules (north rule "robots.txt honored"):
+        # written once at init_state when robots bodies are provided,
+        # broadcast-gated onto every batch's fetch URLs. Empty/absent ⇒
+        # the gate is skipped entirely (a driver-side metadata check), so
+        # robots-free crawls pay zero plan overhead.
+        self.robots_rules = t("robots_rules", tables.ROBOTS_RULES, ["hostname"])
 
     # -- helpers ---------------------------------------------------------------
 
@@ -306,9 +319,26 @@ class CrawlEngine:
 
     # -- lifecycle ---------------------------------------------------------------
 
-    def init_state(self, seed_forges: DataFrame, consent: DataFrame) -> None:
+    def init_state(
+        self,
+        seed_forges: DataFrame,
+        consent: DataFrame,
+        robots: DataFrame | None = None,
+    ) -> None:
         """Canonicalize seeds (D1), gate on consent (P4/P5), create forge rows
         (D2→S5) and commit the initial frontier state snapshot.
+
+        ``robots`` — optional ``(hostname, robots_txt)`` bodies (north rule
+        "robots.txt honored"; RFC 9309 semantics in operators/robots.py).
+        When provided: per-host ``crawl-delay`` raises the persisted
+        ``effective_rate_ms`` (most-conservative merge — the token bucket
+        honors whichever of consent rate / robots delay is slower), and the
+        compiled allow/disallow rules are committed to the ``robots_rules``
+        table, which every batch broadcast-gates its fetch URLs against. A
+        host whose search endpoint is disallowed still gets its forge row
+        (robots restricts FETCHING, not knowledge of the forge) but drains
+        in batch 1 with zero fetches. Robots are static per crawl cycle,
+        like the reference's consent table.
 
         ONE Spark action (multi_commit): forge rows are anti-joined against
         the current forges snapshot inside the DAG (idempotent re-init), the
@@ -323,6 +353,21 @@ class CrawlEngine:
             consent,
             default_rate_ms=self.s.rate_ms,
         ).filter(~F.col("imported"))  # get_all_forges(with_imports=false), spider.rs:191
+
+        compiled_rules = None
+        if robots is not None:
+            compiled_rules = (
+                robots_mod.compile_rules(robots_mod.parse_robots(robots, ROBOTS_UA))
+                .select(
+                    "hostname",
+                    F.col("pos").cast("long").alias("pos"),
+                    F.col("plen").cast("int").alias("plen"),
+                    "allow", "is_plain", "pattern", "rx",
+                )
+            )
+            gated = robots_mod.merge_crawl_delay(
+                gated, robots_mod.parse_crawl_delay(robots, ROBOTS_UA)
+            )
 
         state = gated.select(
             "forge_id",
@@ -354,14 +399,17 @@ class CrawlEngine:
             ["key_kind", "hostname", "key1", "key2"],
             "left_anti",
         )
+        parts = [
+            (self.forges, fresh, "merge-append"),
+            (self.url_seen, keys_fresh, "merge-append"),
+        ]
+        if compiled_rules is not None:
+            parts.append((self.robots_rules, compiled_rules, "overwrite"))
+        parts.append((self.state, state, "overwrite"))
         multi_commit(
             self.spark,
             os.path.join(self.warehouse, "_staging", "init"),
-            [
-                (self.forges, fresh, "merge-append"),
-                (self.url_seen, keys_fresh, "merge-append"),
-                (self.state, state, "overwrite"),
-            ],
+            parts,
             {"batch_id": 0},
         )
 
@@ -526,7 +574,7 @@ class CrawlEngine:
             docs.unpersist()
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
                     self.lineage, self.visit_log, self.state, self.pending,
-                    self.bloom_state, self.body_cache):
+                    self.bloom_state, self.body_cache, self.robots_rules):
             tbl.expire_snapshots(self.s.snapshot_keep)
         return {"batches": batches, "last_batch_id": batch_id}
 
@@ -616,6 +664,33 @@ class CrawlEngine:
         def anti_pending(df: DataFrame) -> DataFrame:
             return df if slim else df.join(pending_hosts, "hostname", "left_anti")
 
+        # robots.txt gate (north rule): engaged only when init_state stored
+        # compiled rules — a driver-side METADATA check, so robots-free
+        # crawls keep their exact plan. The dim is a handful of rows per
+        # consenting host; rules_dim's collapse rides the batch DAG and the
+        # per-URL decision is one broadcast join + one projection
+        # (operators/robots.py).
+        robots_snap = self.robots_rules.current_snapshot()
+        robots_dim = None
+        if robots_snap is not None and robots_snap.data_files:
+            robots_dim = robots_mod.rules_dim(self.robots_rules.read(self.spark))
+
+        def _robots_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+            """(allowed, blocked) by the RFC 9309 decision on the URL's
+            path+query (``doc_id`` is the fetch URL here)."""
+            gated = robots_mod.robots_gate(
+                df.withColumn(
+                    "__path",
+                    F.regexp_extract("doc_id", r"^[a-z0-9+.\-]+://[^/]+(/.*)$", 1),
+                ),
+                robots_dim,
+                path_col="__path",
+            )
+            return (
+                gated.filter(F.col("robots_allowed")).drop("__path", "robots_allowed"),
+                gated.filter(~F.col("robots_allowed")).drop("__path", "robots_allowed"),
+            )
+
         # 1. page-fetch URLs for each active host (JVM-side string build),
         # templated per forge type (N1 dispatch starts at URL construction)
         page_url = (
@@ -647,6 +722,13 @@ class CrawlEngine:
             "effective_rate_ms", "host_bucket",
             page_url.alias("doc_id"),
         )
+        # a robots-disallowed page is never fetched; pages are strictly
+        # sequential per host, so the host cannot progress past it — it
+        # drains exactly like the empty-page sentinel (page_status union
+        # below), but WITHOUT a fetch or a visit-log row
+        blocked_pages = None
+        if robots_dim is not None:
+            pages, blocked_pages = _robots_split(pages)
 
         # 2. fetch = co-partitioned join against documents (left: missing page
         # == empty page == termination sentinel, spider.rs:74-77)
@@ -726,6 +808,13 @@ class CrawlEngine:
                 F.col("owner_username"), F.lit("/"), F.col("name"), F.lit("/topics"),
             ).alias("doc_id"),
         )
+        # per-URL robots decisions on the varying surface (topic URLs carry
+        # owner/name path segments): blocked fetches never slot, never
+        # defer, never log — the repo row still merges, with the topics it
+        # is allowed to see (the grouped topics join is a left join)
+        blocked_topics = None
+        if robots_dim is not None:
+            all_topic_fetches, blocked_topics = _robots_split(all_topic_fetches)
         page_fetches = anti_pending(fetched_pages).select(
             "hostname", "forge_id",
             F.col("next_page").alias("page"),
@@ -953,6 +1042,9 @@ class CrawlEngine:
         )
         if not slim:
             tagged = tagged.unionByName(_tagged(deferred, "d", True))
+        if blocked_pages is not None:
+            tagged = tagged.unionByName(_tagged(blocked_pages, "b", True))
+            tagged = tagged.unionByName(_tagged(blocked_topics, "b", True))
         lineage = tagged.groupBy("host_bucket").agg(
             F.sum((F.col("__w") == "f").cast("long")).alias("fetched"),
             (
@@ -960,12 +1052,14 @@ class CrawlEngine:
                 - F.sum((F.col("__w") == "i").cast("long"))
             ).alias("deduped"),
             F.sum((F.col("__w") == "d").cast("long")).alias("deferred_by_politeness"),
+            F.sum((F.col("__w") == "b").cast("long")).alias("blocked_by_robots"),
         ).select(
             F.lit(batch_id).alias("batch_id"),
             F.col("host_bucket").alias("partition_id"),
             "fetched",
             "deduped",
             "deferred_by_politeness",
+            "blocked_by_robots",
         )
 
         # 9. state advance — THE commit point of the batch.
@@ -977,6 +1071,16 @@ class CrawlEngine:
         page_status = fetched_pages.select(
             "hostname", F.col("spans").isNotNull().alias("page_found")
         ).join(host_repo_counts, "hostname", "left")
+        if blocked_pages is not None:
+            # robots-blocked page ⇒ sentinel semantics (host deactivates),
+            # minus the fetch: page_found=false, no repos
+            page_status = page_status.unionByName(
+                blocked_pages.select(
+                    "hostname",
+                    F.lit(False).alias("page_found"),
+                    F.lit(None).cast("long").alias("__n_repos"),
+                )
+            )
         if slim:
             page_status = page_status.withColumn(
                 "__deferred", F.lit(None).cast("boolean")

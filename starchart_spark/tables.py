@@ -138,7 +138,9 @@ CRAWL_ORDER = T.StructType(
 )
 
 # per-partition lineage counters, appended atomically with every batch
-# (north_rule: fetched, deduped, deferred-by-politeness)
+# (north_rule: fetched, deduped, deferred-by-politeness; blocked_by_robots
+# extends the mandated trio — RFC 9309 denials are neither fetched nor
+# deferred, so they need their own ledger)
 LINEAGE = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),
@@ -146,6 +148,21 @@ LINEAGE = T.StructType(
         T.StructField("fetched", T.LongType(), False),
         T.StructField("deduped", T.LongType(), False),
         T.StructField("deferred_by_politeness", T.LongType(), False),
+        T.StructField("blocked_by_robots", T.LongType(), False),
+    ]
+)
+
+# compiled per-host robots.txt rules (operators/robots.py), written once at
+# init_state and broadcast-gated onto every batch's fetch URLs
+ROBOTS_RULES = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("pos", T.LongType(), False),
+        T.StructField("plen", T.IntegerType(), False),
+        T.StructField("allow", T.BooleanType(), False),
+        T.StructField("is_plain", T.BooleanType(), False),
+        T.StructField("pattern", T.StringType(), False),
+        T.StructField("rx", T.StringType(), False),
     ]
 )
 
