@@ -754,6 +754,48 @@ SQL_ROBOTS_GATE = _sql_robots_gate()
 SQL_ROBOTS_CRAWL_DELAY = _sql_robots_crawl_delay()
 
 
+def q_priority_queue(spark, sf_dir):
+    """North rule "salted-keyed priority queue over repartitioned host
+    buckets" (operators/pqueue.py): per-host rank by (priority DESC, key
+    ASC) via the skew-proof two-pass ranker, token-bucket slot from the
+    rank, budget split — the scheduled half returned. Orders stand in as
+    the frontier: priority = o_totalprice."""
+    from starchart_spark.operators import pqueue
+
+    frontier = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.concat(F.lit("h"), (F.col("o_custkey") % 5).cast("string")).alias("hostname"),
+        F.col("o_totalprice").alias("priority"),
+        F.lit(250).cast("long").alias("effective_rate_ms"),
+    )
+    scheduled, _deferred = pqueue.pq_schedule(
+        frontier, budget_ms=2000, tiebreak_cols=("o_orderkey",)
+    )
+    return scheduled.select(
+        "hostname",
+        "o_orderkey",
+        F.col(pqueue.RANK_COL).cast("long").alias("pq_rank"),
+        "slot_ms",
+    )
+
+
+SQL_PRIORITY_QUEUE = """
+WITH f AS (
+  SELECT o_orderkey, 'h' || (o_custkey % 5) AS hostname,
+         o_totalprice AS priority
+  FROM orders
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY hostname ORDER BY priority DESC, o_orderkey ASC
+    ) AS pq_rank
+  FROM f
+)
+SELECT hostname, o_orderkey, pq_rank, (pq_rank - 1) * 250 AS slot_ms
+FROM r WHERE (pq_rank - 1) * 250 < 2000
+"""
+
+
 def q_epoch_days(spark, sf_dir):
     """N8: epoch timestamps → day buckets, counted."""
     return (
@@ -2255,6 +2297,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "txt_consent": (q_txt_consent, SQL_TXT_CONSENT),
     "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
     "robots_crawl_delay": (q_robots_crawl_delay, SQL_ROBOTS_CRAWL_DELAY),
+    "priority_queue": (q_priority_queue, SQL_PRIORITY_QUEUE),
     "epoch_days": (q_epoch_days, SQL_EPOCH_DAYS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "union_distinct": (q_union_distinct, SQL_UNION_DISTINCT),

@@ -1,0 +1,93 @@
+"""Salted-keyed priority queue (operators/pqueue.py).
+
+Semantics vs the plain-window formulation on a skewed frontier (one host
+holding half the rows — exactly the shape the two-pass ranker exists for),
+budget-split accounting, top-k pop determinism, and the constant-priority
+degenerate case collapsing to the engine's crawl-order slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from starchart_spark.operators import politeness, pqueue
+
+
+def _skewed_frontier(spark, n=600):
+    """hosts: mega (50% of rows) + 5 smalls; priority collides across hosts."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 2 == 0, F.lit("mega"))
+            .otherwise(F.concat(F.lit("h"), (F.col("id") % 5).cast("string")))
+            .alias("hostname"),
+            (F.col("id") % 37).cast("double").alias("priority"),
+            F.lit(100).cast("long").alias("effective_rate_ms"),
+        )
+    )
+
+
+def _window_truth(df):
+    w = Window.partitionBy("hostname").orderBy(
+        F.col("priority").desc(), F.col("id").asc()
+    )
+    return df.withColumn("want_rank", F.row_number().over(w))
+
+
+def test_rank_equals_plain_window(spark):
+    f = _skewed_frontier(spark)
+    got = pqueue.pq_rank(f, tiebreak_cols=("id",))
+    joined = _window_truth(f).join(got.select("hostname", "id", "pq_rank"), ["hostname", "id"])
+    assert joined.filter(F.col("pq_rank") != F.col("want_rank")).count() == 0
+
+
+def test_schedule_budget_split(spark):
+    f = _skewed_frontier(spark)
+    sched, deferred = pqueue.pq_schedule(f, budget_ms=1000, tiebreak_cols=("id",))
+    sched = sched.persist()
+    deferred = deferred.persist()
+    # slots: 0,100,...,900 inside the budget => 10 per host (where available)
+    per_host = {r["hostname"]: r["n"] for r in
+                sched.groupBy("hostname").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in per_host.values())
+    assert sched.agg(F.max("slot_ms")).collect()[0][0] == 900
+    assert deferred.agg(F.min("slot_ms")).collect()[0][0] == 1000
+    # split is a partition of the input
+    assert sched.count() + deferred.count() == f.count()
+    # the scheduled half is exactly the per-host top-10 by priority
+    top = pqueue.dequeue_topk(f, 10, tiebreak_cols=("id",))
+    assert (
+        sched.select("hostname", "id").exceptAll(top.select("hostname", "id")).count()
+        == 0
+    )
+    sched.unpersist()
+    deferred.unpersist()
+
+
+def test_unbounded_budget_defers_nothing(spark):
+    f = _skewed_frontier(spark, n=100)
+    sched, deferred = pqueue.pq_schedule(f, budget_ms=None, tiebreak_cols=("id",))
+    assert deferred.count() == 0
+    assert sched.count() == 100
+
+
+def test_constant_priority_collapses_to_crawl_order(spark):
+    """With one priority everywhere and (page, idx) tiebreaks, the queue's
+    slots ARE the engine's plain-window crawl-order slots."""
+    rows = [
+        ("h1", 1, i, 200) for i in range(6)
+    ] + [("h2", 1, i, 500) for i in range(4)]
+    f = spark.createDataFrame(
+        rows, ["hostname", "page", "idx_in_page", "effective_rate_ms"]
+    ).withColumn("priority", F.lit(0.0))
+    sched, _ = pqueue.pq_schedule(
+        f, budget_ms=None, tiebreak_cols=("page", "idx_in_page")
+    )
+    want = politeness.assign_slots_window(f, order_cols=["page", "idx_in_page"])
+    got = {(r["hostname"], r["page"], r["idx_in_page"]): r["slot_ms"]
+           for r in sched.collect()}
+    exp = {(r["hostname"], r["page"], r["idx_in_page"]): r["slot_ms"]
+           for r in want.collect()}
+    assert got == exp
