@@ -152,6 +152,11 @@ class HttpTransport:
                 return None
             raise
 
+    def fetch_text(self, url: str) -> "str | None":
+        """Raw-body GET (no span parsing) — the robots.txt surface:
+        robots bodies are line-oriented text, never spans."""
+        return self._get(url)
+
     def __call__(self, url: str) -> "list | None":
         body = self._get(url)
         if body is None:
@@ -166,6 +171,63 @@ class HttpTransport:
             return self._get(instance_url.rstrip("/") + NODEINFO_PATH) is not None
         except Exception:
             return False
+
+
+ROBOTS_PATH = "/robots.txt"
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("robots_txt", T.StringType(), False),
+    ]
+)
+
+
+def fetch_robots(
+    hosts: DataFrame, transport: Transport, scheme: str = "https"
+) -> DataFrame:
+    """Really fetch ``{scheme}://{host}/robots.txt`` per distinct host.
+
+    Returns ``(hostname, robots_txt)`` — the exact shape
+    ``CrawlEngine.init_state(robots=...)`` consumes. Hosts whose robots
+    file is missing (404 → ``None``) are OMITTED: RFC 9309 §2.3.1.2 says
+    an unavailable robots.txt means unrestricted, and an absent row is
+    precisely how the robots gate encodes "allowed by default".
+
+    Transports exposing ``fetch_text`` (HttpTransport) get the raw body;
+    bare-callable transports are invoked through the span contract and the
+    span texts concatenated — so a corpus transport can serve robots
+    bodies as one-span documents.
+
+    The result is ``localCheckpoint(eager=True)``-materialized: the fetch
+    is a side effect and init_state's DAG consumes the bodies twice
+    (rule parse + crawl-delay parse) — the wire must be hit exactly once
+    per host. Hosts are dim-scale (one row per forge instance), so the
+    checkpoint is small; fetches fan out across executors one host-batch
+    per task.
+    """
+
+    def _fetch(it):
+        get_text = getattr(transport, "fetch_text", None)
+        for pdf in it:
+            rows = []
+            for h in pdf["hostname"]:
+                url = f"{scheme}://{h}{ROBOTS_PATH}"
+                if get_text is not None:
+                    body = get_text(url)
+                else:
+                    spans = transport(url)
+                    body = (
+                        None
+                        if spans is None
+                        else "".join(s.get("text") or "" for s in spans)
+                    )
+                if body is not None:
+                    rows.append((h, body))
+            yield pd.DataFrame(rows, columns=["hostname", "robots_txt"])
+
+    distinct = hosts.select("hostname").distinct()
+    return distinct.mapInPandas(_fetch, ROBOTS_SCHEMA).localCheckpoint(eager=True)
 
 
 def corpus_transport(documents_rows: dict) -> Transport:

@@ -119,6 +119,93 @@ def test_rerun_idempotent_under_robots(robots_crawl):
     assert eng.repositories.read(eng.spark).count() == before_r
 
 
+def test_robots_fetched_over_wire_and_enforced(spark, tmp_path):
+    """Transport-mode e2e: robots.txt is fetched from the server itself
+    (fetcher.fetch_robots), a 404 robots means unrestricted, and a
+    disallowed topics URL NEVER reaches the wire — asserted on the
+    server's own request log, the strongest possible evidence."""
+    import http.server
+    import json as _json
+    import threading
+    import urllib.parse
+
+    from starchart_spark.crawl import fetcher
+
+    spec = CorpusSpec(n_forges=2, repos_per_forge=10, page_size=5)
+    dfs = corpus_to_spark(spark, make_corpus(spec))
+
+    doc_map = {
+        r["doc_id"]: [s.asDict() for s in r["spans"]]
+        for r in dfs["documents"].collect()
+    }
+    robots_body = "User-agent: *\nDisallow: /api/v1/repos/bot/repository_3/\n"
+    # h1 serves a robots file; h2 has none (404 -> unrestricted)
+    doc_map[f"https://{H1}/robots.txt"] = [
+        {"kind": "text", "text": robots_body, "media_ref": None, "offset": 0}
+    ]
+    requested = []
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = urllib.parse.urlparse(self.path).query
+            url = urllib.parse.parse_qs(q).get("url", [""])[0]
+            requested.append(url)
+            spans = doc_map.get(url)
+            if spans is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = _json.dumps(spans).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+
+    http_t = fetcher.HttpTransport(
+        "me.example:3000", parser=lambda _u, body: __import__("json").loads(body)
+    )
+    base = f"http://127.0.0.1:{port}/fetch?url="
+
+    def transport(url):
+        return http_t(base + urllib.parse.quote(url, safe=""))
+
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "wh_wire"),
+        CrawlSettings(host_buckets=4, items_per_api_call=5, rate_ms=1,
+                      transport=transport),
+    )
+    hosts = spark.createDataFrame([(H1,), (H2,)], ["hostname"])
+    robots = fetcher.fetch_robots(hosts, transport)
+    eng.init_state(dfs["seed_forges"], dfs["consent"], robots=robots)
+    eng.run()
+    srv.shutdown()
+
+    blocked_url = f"https://{H1}/api/v1/repos/bot/repository_3/topics"
+    # robots fetched exactly once per host (incl. the 404 host), and the
+    # denied URL never left the engine
+    assert requested.count(f"https://{H1}/robots.txt") == 1
+    assert requested.count(f"https://{H2}/robots.txt") == 1
+    assert blocked_url not in requested
+    repos = eng.repositories.read(spark)
+    assert repos.count() == 2 * spec.repos_per_forge  # h2 unrestricted
+    tags = {
+        (r["hostname"], r["name"]): r["tags"]
+        for r in repos.select("hostname", "name", "tags").collect()
+    }
+    assert not tags[(f"https://{H1}/", "repository_3")]
+    assert tags[(f"https://{H2}/", "repository_3")] == ["testing"]
+    b = eng.lineage.read(spark).agg(F.sum("blocked_by_robots")).collect()[0][0]
+    assert b == 1
+
+
 def test_allow_all_robots_is_a_noop(spark, tmp_path_factory):
     """Gate-plumbing parity: an allow-everything robots file must reproduce
     the robots-free crawl exactly (entities, visit log, lineage)."""
