@@ -87,6 +87,11 @@ HEADLINE_QUERIES = [
     "nb_classify",
     "vocab_encode",
     "bm25_rank",
+    # round-5 session-6: RFC 9309 robots gate (relational parse + broadcast
+    # per-URL decision) and the salted-keyed priority-queue scheduler (the
+    # two-pass skew-proof ranker under a token-bucket budget split)
+    "robots_gate",
+    "priority_queue",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge
