@@ -92,6 +92,12 @@ HEADLINE_QUERIES = [
     # two-pass skew-proof ranker under a token-bucket budget split)
     "robots_gate",
     "priority_queue",
+    # round-5 session-7: host-graph PageRank (exact-integer iterative
+    # priority signal), MOSS winnowing fingerprints (the lead()-window
+    # selection plan), crawl-trap frontier filter
+    "host_pagerank",
+    "winnow_fingerprint",
+    "trap_filter",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

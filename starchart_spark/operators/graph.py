@@ -1,0 +1,155 @@
+"""Host-graph PageRank for crawl prioritization — exact-integer iteration.
+
+A production frontier schedules hosts, not just URLs: link-graph authority
+(PageRank over the host→host graph) is the standard priority signal feeding
+a scheduler like :mod:`pqueue` (the reference crawls seed hosts in fixed
+order, src/spider.rs:36-223 — authority ranking is the north rule's scale
+extension, so its semantics are pinned by the DuckDB oracle).
+
+Why integer micro-units instead of doubles: a distributed PageRank sums
+contributions in partition-dependent order, and float addition is not
+associative — the same graph yields last-digit-different ranks run to run,
+which breaks both the driver's value-hash gate and reproducible crawl
+priorities (the repo's ``lm_score`` micro-nat lesson, NOTES.md round-5).
+Here every rank is a BIGINT in units of 1/SCALE: shares are integer
+divisions, sums are exact and order-independent, and the whole iteration
+is a pure function of the edge set on any partitioning or cluster size.
+
+Per-iteration update (all BIGINT, everything non-negative so div = floor):
+
+    share(u)   = rank(u) div outdeg(u)            -- per out-edge
+    inc(v)     = sum over edges u->v of share(u)
+    dang       = sum of rank(u) over outdeg-less u -- dangling mass
+    rank'(v)   = (DN·(SCALE div N)) div DD + (DM·(inc(v) + dang div N)) div DD
+
+with damping DM/DD = 85/100, DN = DD−DM. Mass leaks a few units per node
+per round to the floors — deterministic, identical in the oracle, and
+irrelevant to the ordering the scheduler consumes.
+
+Scale shape: one shuffle per round — ranks (host-level, ≪ edges) join
+edges on src, then a sum keyed on dst; the dangling scalar rides an
+in-plan 1-row cross join (no driver collect inside the loop). Lineage is
+truncated per round with ``localCheckpoint`` (the :mod:`cluster` lesson:
+persists keep the full plan and Catalyst time doubles per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # rank units per 1.0 of probability mass
+DAMP_NUM = 85
+DAMP_DEN = 100
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+) -> DataFrame:
+    """(host, rank_u) after ``iters`` exact-integer PageRank rounds.
+
+    ``edges`` must be distinct (src, dst) pairs; duplicate edges would
+    double-count shares. Self-loops are legitimate (a host linking to
+    itself keeps some of its own mass).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = (
+        e.groupBy(F.col("src").alias("host"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    # one-time scalar: the node count parameterizes the uniform terms.
+    # (One count() at build, never inside the loop — same budget as
+    # cluster.connected_components' convergence probe.)
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_u", F.lit(0).cast("long"))
+    base = (damp_den - damp_num) * (scale // n) // damp_den
+
+    ranks = nodes.withColumn("rank_u", F.lit(scale // n).cast("long"))
+    for _ in range(iters):
+        with_deg = ranks.join(outdeg, "host", "left")
+        inc = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .join(e, with_deg["host"] == e["src"])
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.expr("rank_u div outdeg")).alias("inc"))
+        )
+        dang = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank_u"), F.lit(0)).alias("dang_total"))
+        )
+        ranks = (
+            nodes.join(inc, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inc, 0)"
+                        f" + (dang_total div {n}))) div {damp_den}"
+                    )
+                ).cast("long").alias("rank_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def pagerank_sql(
+    edges_cte: str,
+    iters: int = 5,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+) -> str:
+    """The DuckDB oracle for :func:`pagerank`, iterations unrolled.
+
+    ``edges_cte`` is a SQL body producing DISTINCT (src, dst). Kept beside
+    the operator so the integer recurrence can never drift between the
+    engines (the registry splices it into the driver gate verbatim).
+    """
+    damp_base = damp_den - damp_num
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src AS host, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT host, (SELECT {scale} // n FROM nn) AS rank_u FROM nodes)",
+    ]
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"""{cur} AS (
+  WITH wd AS (SELECT p.host, p.rank_u, d.outdeg
+              FROM {prev} p LEFT JOIN deg d USING (host)),
+  inc AS (SELECT e.dst AS host, SUM(w.rank_u // w.outdeg) AS inc
+          FROM wd w JOIN edges e ON w.host = e.src
+          WHERE w.outdeg IS NOT NULL GROUP BY e.dst),
+  dang AS (SELECT COALESCE(SUM(rank_u), 0) AS dang_total
+           FROM wd WHERE outdeg IS NULL)
+  SELECT n.host,
+         ({damp_base} * ((SELECT {scale} // n FROM nn)) ) // {damp_den}
+         + ({damp_num} * (COALESCE(i.inc, 0)
+            + (SELECT dang_total FROM dang) // (SELECT n FROM nn)))
+           // {damp_den} AS rank_u
+  FROM nodes n LEFT JOIN inc i USING (host)
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT host, rank_u FROM r{iters}"
+    )

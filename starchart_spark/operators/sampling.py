@@ -71,6 +71,36 @@ def sample_stratified(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sample of k rows: priority sampling
+    (Duffield–Lund–Thorup, JACM 2007) — priority q = w/u with u uniform,
+    keep the k largest priorities. Near-optimal variance for subset-sum
+    estimation over the sampled rows; the standard weighted counterpart to
+    :func:`sample_exact_k` for quality- or length-weighted corpus draws.
+
+    Exactness discipline: u comes from :func:`selector` (integer LCG) and
+    q = w·p/u uses only IEEE multiply/divide — correctly-rounded ops, so
+    the value (and therefore the selection and any oracle) is bit-identical
+    on every engine and partitioning, unlike the exponential-race variant
+    whose ``ln`` differs per libm. Ties broken by id. Distributed top-k
+    (per-partition heads), never a global sort.
+    """
+    u = selector(id_col, salt) + 1  # uniform integer in [1, p]
+    q = F.col(weight_col).cast("double") * float(P31) / u.cast("double")
+    return (
+        df.withColumn(priority_col, q)
+        .orderBy(F.desc(priority_col), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def sample_exact_k(
     df: DataFrame, k: int, id_col: str = "doc_id", salt: int = 0
 ) -> DataFrame:

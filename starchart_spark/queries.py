@@ -2268,6 +2268,211 @@ FROM ev e JOIN iv ON e.user_id = iv.user_id
 """
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Host-graph PageRank (operators/graph.py): 5 exact-integer rounds
+    over a link graph derived from orders — src domain h0..h36, dst domain
+    h0..h40, so hosts h37..h40 exercise the dangling-mass path. Rank in
+    BIGINT micro-units: exact, order-independent sums, oracle-unrollable."""
+    from starchart_spark.operators import graph
+
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 41).cast("string")).alias("dst"),
+    ).distinct()
+    return graph.pagerank(edges, iters=5)
+
+
+def _sql_host_pagerank() -> str:
+    from starchart_spark.operators import graph
+
+    return graph.pagerank_sql(
+        "SELECT DISTINCT 'h' || (o_custkey % 37) AS src,"
+        " 'h' || (o_orderkey % 41) AS dst FROM orders",
+        iters=5,
+    )
+
+
+SQL_HOST_PAGERANK = _sql_host_pagerank()
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """MOSS winnowing fingerprints (operators/winnow.py, portable-hash
+    parity mode): k=4 token grams, window w=5, rightmost-min selection via
+    one order-encoded window min. Production mode swaps in xxhash64 gram
+    identity; selection logic is identical (pytest-asserted guarantee)."""
+    from starchart_spark.operators import winnow
+
+    return winnow.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=4, w=5, portable=True
+    )
+
+
+def _sql_winnow_fingerprint() -> str:
+    from starchart_spark.operators.text import FP_MOD, FP_MULT
+    from starchart_spark.operators.winnow import POSCAP
+
+    c0, c1, c2, c3 = (pow(FP_MULT, e, FP_MOD) for e in (3, 2, 1, 0))
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+toks AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM base
+),
+tv AS (
+  SELECT doc_id, pos,
+         (length(tok) * 131 + coalesce(ascii(tok), 0) * 31
+          + coalesce(ascii(reverse(tok)), 0)) % {FP_MOD} AS tv
+  FROM toks
+),
+leads AS (
+  SELECT doc_id, pos, tv,
+         lead(tv, 1) OVER w AS tv1, lead(tv, 2) OVER w AS tv2,
+         lead(tv, 3) OVER w AS tv3
+  FROM tv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grams AS (
+  SELECT doc_id, pos,
+         (((tv * {c0}) % {FP_MOD}) + ((tv1 * {c1}) % {FP_MOD})
+          + ((tv2 * {c2}) % {FP_MOD}) + ((tv3 * {c3}) % {FP_MOD})) % {FP_MOD} AS gh
+  FROM leads WHERE tv3 IS NOT NULL
+),
+keyed AS (
+  SELECT doc_id, pos, gh,
+         COUNT(*) OVER (PARTITION BY doc_id) AS m,
+         MIN(gh * {POSCAP} + ({POSCAP} - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel_key
+  FROM grams
+),
+starts AS (
+  SELECT doc_id, sel_key FROM keyed WHERE pos <= greatest(m - 4, 1)
+)
+SELECT DISTINCT doc_id,
+       {POSCAP} - (sel_key % {POSCAP}) AS pos,
+       sel_key // {POSCAP} AS gh
+FROM starts
+"""
+
+
+SQL_WINNOW_FINGERPRINT = _sql_winnow_fingerprint()
+
+
+def q_priority_sample(spark, sf_dir):
+    """Duffield–Lund–Thorup priority sampling (operators/sampling.py):
+    deterministic weighted k-sample, priority w·p/u from the integer LCG —
+    multiply/divide only, so bit-identical cross-engine (no libm ln)."""
+    from starchart_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "weight", (F.col("doc_id") % 19 + 1).cast("long")
+    )
+    return sampling.priority_sample(docs, 200, "weight").select(
+        "doc_id", "lang", "weight", "priority"
+    )
+
+
+SQL_PRIORITY_SAMPLE = f"""
+WITH p AS (
+  SELECT doc_id, lang, (doc_id % 19 + 1) AS weight,
+         (CAST(doc_id % 19 + 1 AS DOUBLE) * 2147483647.0)
+           / CAST({_SEL_SQL.format(col="doc_id")} + 1 AS DOUBLE) AS priority
+  FROM documents
+)
+SELECT doc_id, lang, weight, priority FROM p
+ORDER BY priority DESC, doc_id LIMIT 200
+"""
+
+
+def q_trap_filter(spark, sf_dir):
+    """Crawl-trap URL flags (operators/traps.py): depth / repeated-segment
+    / session-id / calendar / long-query heuristics over a synthesized
+    frontier exercising each family. One codegen'd projection, RE2∩Java
+    regexes (the pii.py discipline)."""
+    from starchart_spark.operators import traps
+
+    frontier = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE doc_id % 8"
+            " WHEN 0 THEN '/repo/alpha/src/main'"
+            " WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/j/k/l/m'"
+            " WHEN 2 THEN '/x/y/x/z/x/q'"
+            " WHEN 3 THEN '/2021/05/12/post'"
+            " WHEN 4 THEN '/2020/2021/2022/events'"
+            " WHEN 5 THEN '/9999/01/page'"
+            " WHEN 6 THEN '/cal/a/b'"
+            " ELSE '/repo/beta/readme' END"
+        ).alias("path"),
+        F.expr(
+            "CASE doc_id % 8"
+            " WHEN 6 THEN 'sessionid=AbC123&x=1'"
+            " WHEN 7 THEN 'f=' || repeat('v', 130)"
+            " ELSE 'q=' || doc_id END"
+        ).alias("query"),
+    )
+    return traps.trap_flags(frontier).select(
+        "doc_id", "trap_depth", "trap_repeat", "trap_session",
+        "trap_calendar", "trap_longqs", "is_trap",
+    )
+
+
+def _sql_trap_filter() -> str:
+    from starchart_spark.operators.traps import (
+        MAX_DEPTH,
+        MAX_QUERY,
+        SESSION_RE,
+        YEAR_RANGE_RE,
+        YEAR_SEG_RE,
+    )
+
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    CASE doc_id % 8
+      WHEN 0 THEN '/repo/alpha/src/main'
+      WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/j/k/l/m'
+      WHEN 2 THEN '/x/y/x/z/x/q'
+      WHEN 3 THEN '/2021/05/12/post'
+      WHEN 4 THEN '/2020/2021/2022/events'
+      WHEN 5 THEN '/9999/01/page'
+      WHEN 6 THEN '/cal/a/b'
+      ELSE '/repo/beta/readme' END AS path,
+    CASE doc_id % 8
+      WHEN 6 THEN 'sessionid=AbC123&x=1'
+      WHEN 7 THEN 'f=' || repeat('v', 130)
+      ELSE 'q=' || doc_id END AS query
+  FROM documents
+),
+s AS (
+  SELECT doc_id, path, query,
+         list_filter(string_split(path, '/'), seg -> seg <> '') AS segs
+  FROM f
+),
+flags AS (
+  SELECT doc_id,
+    len(segs) > {MAX_DEPTH} AS trap_depth,
+    len(list_filter(segs,
+        seg -> len(list_filter(segs, x -> x = seg)) >= 3)) > 0 AS trap_repeat,
+    regexp_matches(lower(query), '{SESSION_RE}') AS trap_session,
+    len(list_filter(segs, seg -> regexp_matches(seg, '{YEAR_SEG_RE}'))) >= 2
+      OR len(list_filter(segs,
+             seg -> regexp_matches(seg, '{YEAR_RANGE_RE}'))) > 0 AS trap_calendar,
+    length(query) > {MAX_QUERY} AS trap_longqs
+  FROM s
+)
+SELECT doc_id, trap_depth, trap_repeat, trap_session, trap_calendar,
+       trap_longqs,
+       trap_depth OR trap_repeat OR trap_session OR trap_calendar
+         OR trap_longqs AS is_trap
+FROM flags
+"""
+
+
+SQL_TRAP_FILTER = _sql_trap_filter()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2345,6 +2550,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+    "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
+    "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
+    "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

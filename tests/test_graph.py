@@ -1,0 +1,88 @@
+"""Host PageRank: hand-checkable structure, exact-integer determinism
+across partitionings, dangling-mass handling, and the scheduler handoff."""
+
+from pyspark.sql import functions as F
+
+from starchart_spark.operators import graph
+
+
+def _ranks(df):
+    return {r["host"]: r["rank_u"] for r in df.collect()}
+
+
+def test_star_graph_hub_wins(spark):
+    # leaves l1..l4 all link to hub; hub links back to l1 only
+    edges = spark.createDataFrame(
+        [("l1", "hub"), ("l2", "hub"), ("l3", "hub"), ("l4", "hub"), ("hub", "l1")],
+        ["src", "dst"],
+    )
+    # the hub↔l1 cycle oscillates with period 2 and decays by the damping
+    # factor per round — 30 rounds leave amplitude ~0.85^30 ≈ 0.8% of mass,
+    # well inside the steady-state hub−l1 gap (~4% of mass)
+    r = _ranks(graph.pagerank(edges, iters=30))
+    assert set(r) == {"hub", "l1", "l2", "l3", "l4"}
+    assert r["hub"] > r["l1"] > r["l2"]  # l1 gets the hub's mass back
+    assert r["l2"] == r["l3"] == r["l4"]  # symmetric leaves tie exactly
+
+
+def test_partition_invariance_exact(spark):
+    # integer arithmetic: bit-identical ranks under any repartitioning
+    edges = spark.range(300).select(
+        F.concat(F.lit("h"), (F.col("id") % 17).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("id") * 7) % 23).cast("string")).alias("dst"),
+    ).distinct()
+    a = _ranks(graph.pagerank(edges, iters=5))
+    b = _ranks(graph.pagerank(edges.repartition(13), iters=5))
+    assert a == b
+
+
+def test_dangling_mass_redistributed(spark):
+    # "sink" has no out-edges: its mass must flow back uniformly, not vanish
+    edges = spark.createDataFrame(
+        [("a", "sink"), ("b", "sink"), ("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    r = _ranks(graph.pagerank(edges, iters=10))
+    total = sum(r.values())
+    # floors leak a few units/node/round; mass must stay ~SCALE, not decay
+    # toward the dangling-free fraction
+    assert total > graph.SCALE * 0.98
+    assert r["sink"] > r["a"]  # two in-edges beat one
+
+
+def test_self_loop_direction(spark):
+    edges = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x")], ["src", "dst"]
+    )
+    r = _ranks(graph.pagerank(edges, iters=30))
+    # x keeps half its own mass AND receives all of y's; y only gets half
+    # of x's: steady state has x − y = d·y > 0
+    assert set(r) == {"x", "y"}
+    assert r["x"] > r["y"]
+
+
+def test_rank_feeds_priority_queue(spark):
+    """The intended composition: pagerank output joins the frontier as the
+    pqueue priority column (host-level dim join, broadcastable)."""
+    from starchart_spark.operators import pqueue
+
+    edges = spark.createDataFrame(
+        [("h1", "h2"), ("h3", "h2"), ("h2", "h1")], ["src", "dst"]
+    )
+    ranks = graph.pagerank(edges, iters=5)
+    frontier = spark.createDataFrame(
+        [(i, f"h{1 + i % 3}", 250) for i in range(30)],
+        ["doc_id", "hostname", "effective_rate_ms"],
+    ).withColumn("effective_rate_ms", F.col("effective_rate_ms").cast("long"))
+    prioritized = frontier.join(
+        F.broadcast(ranks.withColumnRenamed("host", "hostname")), "hostname"
+    ).withColumn("priority", F.col("rank_u").cast("double"))
+    scheduled, deferred = pqueue.pq_schedule(frontier=prioritized, budget_ms=1000)
+    assert scheduled.count() + deferred.count() == 30
+    # within a host, ranks are dense 1..n by (priority desc, doc_id)
+    per_host = (
+        scheduled.groupBy("hostname")
+        .agg(F.max(pqueue.RANK_COL).alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    for row in per_host:
+        assert row["mx"] == row["n"]

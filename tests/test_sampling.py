@@ -77,3 +77,40 @@ def test_exact_k_reproducible(spark):
     a = [r["doc_id"] for r in sampling.sample_exact_k(df, 50).collect()]
     b = [r["doc_id"] for r in sampling.sample_exact_k(df.repartition(7), 50).collect()]
     assert len(a) == 50 and sorted(a) == sorted(b)
+
+
+def test_priority_sample_basics(spark):
+    # weights: doc_id % 10 == 0 gets weight 100, everyone else 1 — the
+    # heavy stratum (10% of rows) must dominate the sample
+    df = _docs(spark).withColumn(
+        "weight",
+        F.when(F.col("doc_id") % 10 == 0, 100).otherwise(1).cast("long"),
+    )
+    out = sampling.priority_sample(df, 200, "weight").collect()
+    assert len(out) == 200
+    heavy = sum(1 for r in out if r["weight"] == 100)
+    assert heavy > 150  # E[heavy] ≈ 200·(100·500)/(100·500+4500) ≈ 183
+
+
+def test_priority_sample_partition_invariant(spark):
+    df = _docs(spark).withColumn("weight", (F.col("doc_id") % 7 + 1).cast("long"))
+    a = {r["doc_id"] for r in sampling.priority_sample(df, 100, "weight").collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.priority_sample(df.repartition(11), 100, "weight").collect()
+    }
+    assert a == b and len(a) == 100
+
+
+def test_priority_sample_salt_and_zero_weight(spark):
+    df = _docs(spark).withColumn("weight", (F.col("doc_id") % 7 + 1).cast("long"))
+    a = {r["doc_id"] for r in sampling.priority_sample(df, 100, "weight").collect()}
+    c = {r["doc_id"] for r in sampling.priority_sample(df, 100, "weight", salt=3).collect()}
+    assert a != c
+    # zero-weight rows have priority 0: never selected while any positive
+    # weight remains
+    zw = _docs(spark, 300).withColumn(
+        "weight", F.when(F.col("doc_id") < 150, 0).otherwise(5).cast("long")
+    )
+    got = sampling.priority_sample(zw, 150, "weight").collect()
+    assert all(r["weight"] == 5 for r in got)
