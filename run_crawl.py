@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--budget-ms", type=int, default=0, help="politeness budget per batch (0=unbounded)")
     p.add_argument("--rate-ms", type=int, default=2000)
     p.add_argument("--host-buckets", type=int, default=64)
+    p.add_argument("--discover-media", action="store_true",
+                   help="media spans enter the frontier (media_assets table)")
     p.add_argument("--resume", action="store_true", help="continue from warehouse snapshots")
     args = p.parse_args(argv)
 
@@ -56,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
             rate_ms=args.rate_ms,
             budget_ms=args.budget_ms or None,
             host_buckets=args.host_buckets,
+            discover_media=args.discover_media,
         ),
     )
 
@@ -87,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         F.sum("deduped").alias("deduped"),
         F.sum("deferred_by_politeness").alias("deferred_by_politeness"),
         F.sum("blocked_by_robots").alias("blocked_by_robots"),
+        F.sum("media_discovered").alias("media_discovered"),
     ).collect()[0]
     out = {
         **stats,
@@ -95,6 +99,8 @@ def main(argv: list[str] | None = None) -> int:
         "url_seen": engine.url_seen.read(spark).count(),
         "lineage_totals": {k: int(totals[k] or 0) for k in totals.asDict()},
     }
+    if args.discover_media:
+        out["media_assets"] = engine.media_assets.read(spark).count()
     print(json.dumps(out))
     return 0
 

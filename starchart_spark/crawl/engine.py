@@ -58,7 +58,7 @@ from pyspark.sql import types as T
 from starchart_spark import tables
 from starchart_spark.functions.urls import canonicalize_udf, host_bucket, url_hash
 from starchart_spark.operators import bloom as bloom_mod
-from starchart_spark.operators import dedup, normalize, politeness, skew
+from starchart_spark.operators import dedup, multimodal, normalize, politeness, skew
 from starchart_spark.operators import robots as robots_mod
 from starchart_spark.snapstore import SnapshotTable, _key_join, multi_commit
 
@@ -166,6 +166,15 @@ class CrawlSettings:
     # materialized (side effects must never re-run), so the one-action-per-
     # batch contract applies to the default mode only.
     transport: object | None = None
+    # media-frontier discovery (the "interleaved text + media" axis at the
+    # crawl tier): when on, each completing page's media spans (avatars,
+    # assets) are canonical-keyed and ride the SAME unified keep-first /
+    # bloom / url_seen pass as the user/repo keys (key_kind='media' — zero
+    # extra stages), first sightings landing in the media_assets table and
+    # the media_discovered lineage counter. Off by default: the reference
+    # never schedules media, so reference-parity runs keep their exact
+    # plan and url_seen membership.
+    discover_media: bool = False
     # plan compaction (round-5 cadence work): eagerly localCheckpoint the
     # deep parse/schedule intermediates so every downstream branch of the
     # commit DAG references a shallow scan instead of re-embedding the full
@@ -241,6 +250,13 @@ class CrawlEngine:
         # the gate is skipped entirely (a driver-side metadata check), so
         # robots-free crawls pay zero plan overhead.
         self.robots_rules = t("robots_rules", tables.ROBOTS_RULES, ["hostname"])
+        # media frontier (discover_media mode): first sighting of each
+        # media URL from the interleaved spans; hostname = the MEDIA URL's
+        # host (avatars often live on a CDN, not the forge host)
+        self.media_assets = t(
+            "media_assets", tables.MEDIA_ASSETS,
+            ["hostname", "media_ref"], ("hostname", B),
+        )
 
     # -- helpers ---------------------------------------------------------------
 
@@ -310,6 +326,17 @@ class CrawlEngine:
                 )
             )
         )
+        if self.s.discover_media:
+            # media keys ride the unified pass too, so the invariant must
+            # cover the media_assets table for the skip to stay sound
+            ent = ent.unionByName(
+                self.media_assets.read(self.spark).select(
+                    F.lit("media").alias("key_kind"),
+                    "hostname",
+                    F.col("media_ref").alias("key1"),
+                    F.lit(None).cast("string").alias("key2"),
+                )
+            )
         return _key_join(
             ent,
             self.url_seen.read(self.spark),
@@ -437,8 +464,8 @@ class CrawlEngine:
         if b_state is None:
             return
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
-                    self.lineage, self.visit_log, self.pending,
-                    self.bloom_state, self.body_cache):
+                    self.media_assets, self.lineage, self.visit_log,
+                    self.pending, self.bloom_state, self.body_cache):
             while True:
                 cur = tbl.current_snapshot()
                 if cur is None:
@@ -573,8 +600,9 @@ class CrawlEngine:
         if docs is not None:
             docs.unpersist()
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
-                    self.lineage, self.visit_log, self.state, self.pending,
-                    self.bloom_state, self.body_cache, self.robots_rules):
+                    self.media_assets, self.lineage, self.visit_log, self.state,
+                    self.pending, self.bloom_state, self.body_cache,
+                    self.robots_rules):
             tbl.expire_snapshots(self.s.snapshot_keep)
         return {"batches": batches, "last_batch_id": batch_id}
 
@@ -953,6 +981,51 @@ class CrawlEngine:
         cands_keyed = _keyed(user_cands, "user", "username", None).unionByName(
             _keyed(repo_cands, "repo", "name", "owner"), allowMissingColumns=True
         )
+        if s.discover_media:
+            # interleaved-media frontier: every completing page's media
+            # spans become canonical (host, ref) keys and join the SAME
+            # unified stream — one more union input, zero extra stages.
+            # Same completion gate as the entity merges: a budget-deferred
+            # host's page re-derives its media refs (a pure function of the
+            # body) in the batch that finally completes it.
+            completed = fetched_pages if slim else fetched_pages.join(
+                deferred_hosts, "hostname", "left_anti"
+            )
+            media_cands = (
+                completed.filter(F.col("spans").isNotNull())
+                .select(
+                    F.col("next_page").alias("page"),
+                    F.explode(
+                        F.filter("spans", lambda sp: sp["kind"] == F.lit("media"))
+                    ).alias("__sp"),
+                )
+                .select(
+                    "page",
+                    F.col("__sp.media_ref").alias("media_ref"),
+                    F.col("__sp.offset").alias("idx_in_page"),
+                )
+                .filter(F.col("media_ref").isNotNull())
+                .withColumn(
+                    # the media URL's own host — avatars/assets are often
+                    # cross-host (CDN), so the seen key must NOT inherit
+                    # the forge host. JVM regex, same shape the robots
+                    # split uses for paths.
+                    "hostname",
+                    F.lower(
+                        F.regexp_extract(
+                            "media_ref", r"^[A-Za-z0-9+.\-]+://([^/:?#]+)", 1
+                        )
+                    ),
+                )
+                .filter(F.length("hostname") > 0)
+                .withColumn(
+                    "media_type", multimodal.media_type_col("media_ref")
+                )
+            )
+            cands_keyed = cands_keyed.unionByName(
+                _keyed(media_cands, "media", "media_ref", None),
+                allowMissingColumns=True,
+            )
         first = dedup.keep_first(
             cands_keyed, ukey_cols, ["page", "idx_in_page"]
         ).persist()
@@ -988,6 +1061,15 @@ class CrawlEngine:
                     )
                 )
             )
+            if s.discover_media:
+                entity_keys = entity_keys.unionByName(
+                    self.media_assets.read(self.spark).select(
+                        F.lit("media").alias("key_kind"),
+                        "hostname",
+                        F.col("media_ref").alias("key1"),
+                        F.lit(None).cast("string").alias("key2"),
+                    )
+                )
             confirmed = _key_join(
                 new_keys, entity_keys, ukey_cols, "left_anti"
             ).persist()
@@ -997,6 +1079,11 @@ class CrawlEngine:
         r_ins = confirmed.filter(F.col("key_kind") == "repo").select(
             *[f.name for f in tables.REPOSITORIES.fields]
         )
+        m_ins = None
+        if s.discover_media:
+            m_ins = confirmed.filter(F.col("key_kind") == "media").select(
+                *[f.name for f in tables.MEDIA_ASSETS.fields]
+            )
         # reuse the PROBED hash instance — the stored seen key is, by
         # construction, the exact value the bloom layer was probed with
         seen_rows = new_keys.select(*[f.name for f in tables.URL_SEEN.fields])
@@ -1031,6 +1118,14 @@ class CrawlEngine:
             )
             return df.select(b.alias("host_bucket"), F.lit(which).alias("__w"))
 
+        # media rows have their own ledger (media_discovered): keep them
+        # out of the reference's dedup accounting (c−i) — the conditional
+        # keeps the default-mode plan byte-identical
+        nonmedia_confirmed = (
+            confirmed.filter(F.col("key_kind") != "media")
+            if s.discover_media
+            else confirmed
+        )
         tagged = (
             _tagged(scheduled, "f", True)
             # user candidates count post-keep-first, repo candidates
@@ -1038,8 +1133,12 @@ class CrawlEngine:
             # from already-persisted intermediates, no recompute
             .unionByName(_tagged(first.filter(F.col("key_kind") == "user"), "c", True))
             .unionByName(_tagged(repo_cands, "c", False))
-            .unionByName(_tagged(confirmed, "i", True))
+            .unionByName(_tagged(nonmedia_confirmed, "i", True))
         )
+        if s.discover_media:
+            tagged = tagged.unionByName(
+                _tagged(confirmed.filter(F.col("key_kind") == "media"), "m", True)
+            )
         if not slim:
             tagged = tagged.unionByName(_tagged(deferred, "d", True))
         if blocked_pages is not None:
@@ -1053,6 +1152,7 @@ class CrawlEngine:
             ).alias("deduped"),
             F.sum((F.col("__w") == "d").cast("long")).alias("deferred_by_politeness"),
             F.sum((F.col("__w") == "b").cast("long")).alias("blocked_by_robots"),
+            F.sum((F.col("__w") == "m").cast("long")).alias("media_discovered"),
         ).select(
             F.lit(batch_id).alias("batch_id"),
             F.col("host_bucket").alias("partition_id"),
@@ -1060,6 +1160,7 @@ class CrawlEngine:
             "deduped",
             "deferred_by_politeness",
             "blocked_by_robots",
+            "media_discovered",
         )
 
         # 9. state advance — THE commit point of the batch.
@@ -1127,6 +1228,8 @@ class CrawlEngine:
             (self.repositories, r_ins, "merge-append"),
             (self.url_seen, seen_rows, "merge-append"),
         ]
+        if m_ins is not None:
+            parts.append((self.media_assets, m_ins, "merge-append"))
         if bloom_part is not None:
             parts.append((self.bloom_state, bloom_part, "overwrite"))
         if s.transport is not None and not slim:

@@ -53,6 +53,20 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def media_type_col(ref) -> F.Column:
+    """Coarse media type from the URL extension — shared by the standalone
+    work-list extractor below and the engine's media-frontier discovery
+    (crawl/engine.py, discover_media)."""
+    c = F.col(ref) if isinstance(ref, str) else ref
+    ext = F.lower(F.regexp_extract(c, r"\.([a-zA-Z0-9]+)$", 1))
+    return (
+        F.when(ext.isin("png", "jpg", "jpeg", "gif", "webp"), "image")
+        .when(ext.isin("mp3", "ogg", "wav", "flac"), "audio")
+        .when(ext.isin("mp4", "webm", "mkv", "avi"), "video")
+        .otherwise("unknown")
+    )
+
+
 def media_refs_from_documents(docs: DataFrame) -> DataFrame:
     """Extract the media work-list from the interleaved spans: one row per
     distinct media_ref, typed by extension. Pure JVM ops; span order is
@@ -60,14 +74,9 @@ def media_refs_from_documents(docs: DataFrame) -> DataFrame:
     media = docs.select(
         F.explode(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias("s")
     ).select(F.col("s.media_ref").alias("media_ref"))
-    ext = F.lower(F.regexp_extract("media_ref", r"\.([a-zA-Z0-9]+)$", 1))
-    media_type = (
-        F.when(ext.isin("png", "jpg", "jpeg", "gif", "webp"), "image")
-        .when(ext.isin("mp3", "ogg", "wav", "flac"), "audio")
-        .when(ext.isin("mp4", "webm", "mkv", "avi"), "video")
-        .otherwise("unknown")
+    return media.dropDuplicates(["media_ref"]).withColumn(
+        "media_type", media_type_col("media_ref")
     )
-    return media.dropDuplicates(["media_ref"]).withColumn("media_type", media_type)
 
 
 def synth_payloads(media: DataFrame, payload_bytes: int = 256) -> DataFrame:

@@ -1,0 +1,71 @@
+"""Adaptive re-crawl scheduling — change-rate-proportional TTLs per host.
+
+The reference re-crawls every host on one fixed TTL (config/default.toml:35,
+src/spider.rs:192-202 — engine P3, ``reactivate_due``). At open-frontier
+scale that either hammers static hosts or goes stale on active ones; the
+standard fix (Cho & Garcia-Molina, "Effective page refresh policies for web
+crawlers", TODS 2003) spaces revisits inversely to the observed change
+rate. This module is that policy in EXACT-INTEGER form:
+
+    rate ≈ changes / visits   ⇒   ttl = clamp(base · visits div (changes+1),
+                                              min_ttl, max_ttl)
+    next_due = last_visit + ttl
+
+The +1 is add-one smoothing (a never-changed host gets base·n, capped); the
+paper's Poisson-MLE estimator λ̂ = −ln(1−X/n)/Δ needs libm ``ln`` whose
+last digit differs per engine — the rational form keeps the schedule a pure
+integer function of the visit log (the repo's cross-engine exactness
+discipline), while preserving the estimator's monotonicity in the observed
+change fraction, which is all the scheduler consumes.
+
+Shape: ONE hash aggregate over the visit/change log keyed by host —
+map-side partial, no window, no skew hazard (per-host state is 4 counters
+however mega the host). The output dim joins the engine state exactly where
+``reactivate_due``'s fixed TTL sits today.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def recrawl_schedule(
+    visits: DataFrame,
+    base_ttl: int,
+    min_ttl: int,
+    max_ttl: int,
+    host_col: str = "hostname",
+    ts_col: str = "ts",
+    changed_col: str = "changed",
+) -> DataFrame:
+    """(hostname, n_visits, n_changes, last_ts, ttl, next_due).
+
+    ``visits``: one row per completed visit with an epoch ``ts_col`` (any
+    unit, as long as the TTL bounds share it) and boolean ``changed_col``
+    (content differed from the previous visit — e.g. a fingerprint mismatch
+    from :mod:`winnow` or a span-hash change). All arithmetic on BIGINT:
+    deterministic on any partitioning/engine.
+    """
+    agg = visits.groupBy(F.col(host_col).alias("hostname")).agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum(F.col(changed_col).cast("long")).alias("n_changes"),
+        F.max(F.col(ts_col)).cast("long").alias("last_ts"),
+    )
+    raw_ttl = F.expr(f"{base_ttl} * n_visits div (n_changes + 1)")
+    ttl = F.least(F.greatest(raw_ttl, F.lit(min_ttl)), F.lit(max_ttl))
+    return agg.select(
+        "hostname",
+        "n_visits",
+        "n_changes",
+        "last_ts",
+        ttl.cast("long").alias("ttl"),
+        (F.col("last_ts") + ttl).cast("long").alias("next_due"),
+    )
+
+
+def due_hosts(schedule: DataFrame, now: int) -> DataFrame:
+    """Hosts whose adaptive TTL has elapsed — the drop-in replacement for
+    the fixed-TTL predicate in ``CrawlEngine.reactivate_due`` (join this
+    dim on hostname instead of comparing against one constant)."""
+    return schedule.filter(F.lit(now) >= F.col("next_due")).select("hostname")

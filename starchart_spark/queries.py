@@ -2473,6 +2473,133 @@ FROM flags
 SQL_TRAP_FILTER = _sql_trap_filter()
 
 
+# engine-identical media-ref host/type derivations, shared by the
+# media_frontier query below (crawl/engine.py discover_media + multimodal)
+_MEDIA_HOST_RX = r"^[A-Za-z0-9+.\-]+://([^/:?#]+)"
+
+
+def q_media_frontier(spark, sf_dir):
+    """Interleaved media-frontier expansion as a standalone pipeline (the
+    engine's discover_media path over synthesized spans): explode media
+    spans → first sighting per ref (keep-first in crawl order) → host/type
+    derivation → anti-join the seen set. Two media spans per doc: a shared
+    CDN asset (doc_id%40 — heavy dedup) and an avatar (doc_id%175)."""
+    from starchart_spark.operators import multimodal
+
+    ext = F.expr(
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'mp4' ELSE 'bin' END"
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://cdn"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".test/img/"), (F.col("doc_id") % 40).cast("string"),
+            F.lit("."), ext,
+        ).alias("ref1"),
+        F.concat(
+            F.lit("https://forge"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".test/avatars/u"), (F.col("doc_id") % 175).cast("string"),
+            F.lit(".png"),
+        ).alias("ref2"),
+    )
+    sightings = docs.select(
+        "doc_id", F.lit(1).alias("offset"), F.col("ref1").alias("media_ref")
+    ).unionByName(
+        docs.select("doc_id", F.lit(2).alias("offset"), F.col("ref2").alias("media_ref"))
+    )
+    first = dedup.keep_first(sightings, ["media_ref"], ["doc_id", "offset"])
+    seen = (
+        docs.filter(F.col("doc_id") % 40 < 10)
+        .select(F.col("ref1").alias("media_ref"))
+        .distinct()
+    )
+    return (
+        first.join(seen, "media_ref", "left_anti")
+        .select(
+            "media_ref",
+            F.lower(F.regexp_extract("media_ref", _MEDIA_HOST_RX, 1)).alias("hostname"),
+            multimodal.media_type_col("media_ref").alias("media_type"),
+            F.col("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
+SQL_MEDIA_FRONTIER = f"""
+WITH d AS (
+  SELECT doc_id,
+    'https://cdn' || (doc_id % 5) || '.test/img/' || (doc_id % 40) || '.'
+      || (CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'mp4' ELSE 'bin' END)
+      AS ref1,
+    'https://forge' || (doc_id % 7) || '.test/avatars/u' || (doc_id % 175)
+      || '.png' AS ref2
+  FROM documents
+),
+sightings AS (
+  SELECT doc_id, 1 AS off, ref1 AS media_ref FROM d
+  UNION ALL
+  SELECT doc_id, 2 AS off, ref2 AS media_ref FROM d
+),
+first AS (
+  SELECT media_ref, min(doc_id) AS first_doc_id
+  FROM sightings GROUP BY media_ref
+),
+seen AS (
+  SELECT DISTINCT ref1 AS media_ref FROM d WHERE doc_id % 40 < 10
+)
+SELECT f.media_ref,
+  lower(regexp_extract(f.media_ref, '{_MEDIA_HOST_RX}', 1)) AS hostname,
+  CASE lower(regexp_extract(f.media_ref, '\\.([a-zA-Z0-9]+)$', 1))
+    WHEN 'png' THEN 'image' WHEN 'jpg' THEN 'image' WHEN 'jpeg' THEN 'image'
+    WHEN 'gif' THEN 'image' WHEN 'webp' THEN 'image'
+    WHEN 'mp3' THEN 'audio' WHEN 'ogg' THEN 'audio' WHEN 'wav' THEN 'audio'
+    WHEN 'flac' THEN 'audio'
+    WHEN 'mp4' THEN 'video' WHEN 'webm' THEN 'video' WHEN 'mkv' THEN 'video'
+    WHEN 'avi' THEN 'video'
+    ELSE 'unknown' END AS media_type,
+  f.first_doc_id
+FROM first f LEFT JOIN seen s USING (media_ref)
+WHERE s.media_ref IS NULL
+"""
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Adaptive re-crawl TTLs (operators/recrawl.py, Cho & Garcia-Molina
+    revisit policy in exact-integer rational form): one hash aggregate over
+    a synthesized visit/change log — ttl = clamp(base·n div (changes+1)),
+    next_due = last_visit + ttl."""
+    from starchart_spark.operators import recrawl
+
+    visits = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias("hostname"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts"),
+        (F.col("event_id") % 3 == 0).alias("changed"),
+    )
+    return recrawl.recrawl_schedule(
+        visits, base_ttl=86_400_000, min_ttl=3_600_000, max_ttl=30 * 86_400_000
+    )
+
+
+SQL_RECRAWL_SCHEDULE = """
+WITH v AS (
+  SELECT 'h' || (user_id % 25) AS hostname, epoch_ms(ts) AS ts,
+         (event_id % 3 = 0) AS changed
+  FROM events
+),
+agg AS (
+  SELECT hostname, COUNT(*) AS n_visits,
+         SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changes,
+         MAX(ts) AS last_ts
+  FROM v GROUP BY hostname
+)
+SELECT hostname, n_visits, n_changes, last_ts,
+  least(greatest(86400000 * n_visits // (n_changes + 1), 3600000),
+        2592000000) AS ttl,
+  last_ts + least(greatest(86400000 * n_visits // (n_changes + 1), 3600000),
+                  2592000000) AS next_due
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2554,6 +2681,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
+    "media_frontier": (q_media_frontier, SQL_MEDIA_FRONTIER),
+    "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

@@ -140,7 +140,8 @@ CRAWL_ORDER = T.StructType(
 # per-partition lineage counters, appended atomically with every batch
 # (north_rule: fetched, deduped, deferred-by-politeness; blocked_by_robots
 # extends the mandated trio — RFC 9309 denials are neither fetched nor
-# deferred, so they need their own ledger)
+# deferred, so they need their own ledger; media_discovered counts the
+# interleaved media refs entering the frontier when discover_media is on)
 LINEAGE = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),
@@ -149,6 +150,22 @@ LINEAGE = T.StructType(
         T.StructField("deduped", T.LongType(), False),
         T.StructField("deferred_by_politeness", T.LongType(), False),
         T.StructField("blocked_by_robots", T.LongType(), False),
+        T.StructField("media_discovered", T.LongType(), False),
+    ]
+)
+
+# media assets discovered from interleaved media spans (engine
+# discover_media mode): one row per first sighting of a media URL — the
+# media half of the "interleaved text + media documents" frontier. The
+# seen gate is the SAME unified keep-first/bloom/anti-join pass the
+# user/repo keys ride (key_kind='media'), so a 10^10-URL frontier pays no
+# extra stages for media dedup.
+MEDIA_ASSETS = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("hostname", T.StringType(), False),  # host of the media URL
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("host_bucket", T.IntegerType(), False),
     ]
 )
 

