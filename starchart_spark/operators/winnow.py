@@ -139,6 +139,57 @@ def winnow_fingerprints(
     return sel
 
 
+def mirror_hosts(
+    fps: DataFrame,
+    host_col: str = "hostname",
+    min_shared: int = 2,
+    min_ratio: float = 0.8,
+) -> DataFrame:
+    """Mirror-host candidates from host-level fingerprint containment
+    (Bharat & Broder's mirror detection by shingle overlap, WWW 1999 —
+    winnowed fingerprints in the shingle role): hosts whose selected
+    fingerprint sets overlap by ≥ ``min_ratio`` of the smaller set are
+    likely mirrors, and a 10^10-URL frontier should crawl only one of them.
+
+    Input: fingerprints with a host column (join your doc→host dim onto
+    :func:`winnow_fingerprints` output first). Output: (a_host, b_host,
+    shared_fps, containment) with a_host < b_host. The pair join is
+    bucketed on gh — hot boilerplate hashes behave like hot shingles, cap
+    them upstream as dedup_text's prefix filter does. ``containment`` is
+    one IEEE division of exact longs — cross-engine deterministic.
+    """
+    hf = fps.select(host_col, "gh").distinct()
+    sizes = hf.groupBy(host_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a = hf.select(F.col(host_col).alias("a_host"), "gh")
+    b = hf.select(F.col(host_col).alias("b_host"), "gh")
+    shared = (
+        a.join(b, "gh")
+        .filter(F.col("a_host") < F.col("b_host"))
+        .groupBy("a_host", "b_host")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col(host_col).alias("a_host"), F.col("n_fp").alias("na")),
+            "a_host",
+        )
+        .join(
+            sizes.select(F.col(host_col).alias("b_host"), F.col("n_fp").alias("nb")),
+            "b_host",
+        )
+        .withColumn(
+            "containment",
+            F.col("shared_fps").cast("double")
+            / F.least("na", "nb").cast("double"),
+        )
+        .filter(
+            (F.col("shared_fps") >= min_shared)
+            & (F.col("containment") >= min_ratio)
+        )
+        .select("a_host", "b_host", "shared_fps", "containment")
+    )
+
+
 def fingerprint_matches(
     fps: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

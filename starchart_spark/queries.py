@@ -2307,15 +2307,18 @@ def q_winnow_fingerprint(spark, sf_dir):
     )
 
 
-def _sql_winnow_fingerprint() -> str:
+def _winnow_cte(source_sql: str) -> str:
+    """CTE chain computing winnowed (doc_id, pos, gh) at k=4/w=5 from a
+    source relation (doc_id, text) — shared by the fingerprint oracle and
+    every oracle that composes winnowing (mirror detection), so the
+    selection recurrence can never drift between uses."""
     from starchart_spark.operators.text import FP_MOD, FP_MULT
     from starchart_spark.operators.winnow import POSCAP
 
     c0, c1, c2, c3 = (pow(FP_MULT, e, FP_MOD) for e in (3, 2, 1, 0))
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-  FROM documents WHERE length(trim(text)) > 0
+  FROM ({source_sql}) WHERE length(trim(text)) > 0
 ),
 toks AS (
   SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos FROM base
@@ -2348,15 +2351,20 @@ keyed AS (
 ),
 starts AS (
   SELECT doc_id, sel_key FROM keyed WHERE pos <= greatest(m - 4, 1)
+),
+winnowed AS (
+  SELECT DISTINCT doc_id,
+         {POSCAP} - (sel_key % {POSCAP}) AS pos,
+         sel_key // {POSCAP} AS gh
+  FROM starts
+)"""
+
+
+SQL_WINNOW_FINGERPRINT = (
+    "WITH "
+    + _winnow_cte("SELECT doc_id, text FROM documents")
+    + "\nSELECT doc_id, pos, gh FROM winnowed"
 )
-SELECT DISTINCT doc_id,
-       {POSCAP} - (sel_key % {POSCAP}) AS pos,
-       sel_key // {POSCAP} AS gh
-FROM starts
-"""
-
-
-SQL_WINNOW_FINGERPRINT = _sql_winnow_fingerprint()
 
 
 def q_priority_sample(spark, sf_dir):
@@ -2562,6 +2570,65 @@ WHERE s.media_ref IS NULL
 """
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (winnow.mirror_hosts, Bharat & Broder 1999):
+    every document is duplicated onto a second synthetic host family
+    ('h<i>' originals, 'm<i>' mirrors, i = doc bucket) — winnowed
+    fingerprint containment must recover exactly the (h<i>, m<i>) pairs
+    at containment 1.0, and any incidental cross-host gram overlap stays
+    under the 0.8 bar identically in both engines (exact longs, one IEEE
+    division)."""
+    from starchart_spark.operators import winnow
+
+    docs = _t(spark, sf_dir, "documents")
+    both = docs.select(
+        (F.col("doc_id") * 2).alias("doc_id"), "text"
+    ).unionByName(docs.select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text"))
+    fps = winnow.winnow_fingerprints(both, k=4, w=5, portable=True)
+    hosted = fps.withColumn(
+        "hostname",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("h")).otherwise(F.lit("m")),
+            F.expr("(doc_id div 2) % 10").cast("string"),
+        ),
+    )
+    return winnow.mirror_hosts(hosted, min_shared=2, min_ratio=0.8)
+
+
+SQL_MIRROR_HOSTS = (
+    "WITH "
+    + _winnow_cte(
+        "SELECT doc_id * 2 AS doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id * 2 + 1 AS doc_id, text FROM documents"
+    )
+    + """,
+hf AS (
+  SELECT DISTINCT
+    (CASE WHEN doc_id % 2 = 0 THEN 'h' ELSE 'm' END) || ((doc_id // 2) % 10)
+      AS host,
+    gh
+  FROM winnowed
+),
+sizes AS (SELECT host, COUNT(*) AS n_fp FROM hf GROUP BY host),
+shared AS (
+  SELECT a.host AS a_host, b.host AS b_host, COUNT(*) AS shared_fps
+  FROM hf a JOIN hf b USING (gh)
+  WHERE a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT s.a_host, s.b_host, s.shared_fps,
+       CAST(s.shared_fps AS DOUBLE) / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE)
+         AS containment
+FROM shared s
+JOIN sizes sa ON sa.host = s.a_host
+JOIN sizes sb ON sb.host = s.b_host
+WHERE s.shared_fps >= 2
+  AND CAST(s.shared_fps AS DOUBLE) / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE)
+      >= 0.8
+"""
+)
+
+
 def q_recrawl_schedule(spark, sf_dir):
     """Adaptive re-crawl TTLs (operators/recrawl.py, Cho & Garcia-Molina
     revisit policy in exact-integer rational form): one hash aggregate over
@@ -2683,6 +2750,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
     "media_frontier": (q_media_frontier, SQL_MEDIA_FRONTIER),
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
+    "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

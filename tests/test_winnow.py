@@ -98,3 +98,33 @@ def test_shared_substring_detected(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_mirror_hosts_detection(spark):
+    """Full mirrors hit containment 1.0; a partial mirror scores by the
+    smaller fingerprint set; unrelated hosts stay out."""
+    base = " ".join(f"tok{(i * 7) % 23}" for i in range(60))
+    other = " ".join(f"zzz{(i * 11) % 29}" for i in range(60))
+    rows = [
+        (0, "orig", base),
+        (1, "mirror", base),                     # exact copy
+        (2, "partial", base + " extra tail " + other[:40]),
+        (3, "unrelated", other),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "hostname", "text"])
+    fps = winnow.winnow_fingerprints(df, k=4, w=5).join(
+        df.select("doc_id", "hostname"), "doc_id"
+    )
+    pairs = {
+        (r["a_host"], r["b_host"]): r["containment"]
+        for r in winnow.mirror_hosts(fps, min_shared=1, min_ratio=0.0).collect()
+    }
+    assert pairs[("mirror", "orig")] == 1.0
+    assert pairs[("orig", "partial")] >= 0.8  # shares the full base text
+    assert ("orig", "unrelated") not in pairs or pairs[("orig", "unrelated")] < 0.3
+    # the production threshold keeps only real mirrors
+    strict = {
+        (r["a_host"], r["b_host"])
+        for r in winnow.mirror_hosts(fps, min_shared=2, min_ratio=0.95).collect()
+    }
+    assert ("mirror", "orig") in strict and ("orig", "unrelated") not in strict
