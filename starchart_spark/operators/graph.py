@@ -109,19 +109,16 @@ def pagerank(
     return ranks
 
 
-def pagerank_sql(
+def pagerank_cte(
     edges_cte: str,
     iters: int = 5,
     scale: int = SCALE,
     damp_num: int = DAMP_NUM,
     damp_den: int = DAMP_DEN,
-) -> str:
-    """The DuckDB oracle for :func:`pagerank`, iterations unrolled.
-
-    ``edges_cte`` is a SQL body producing DISTINCT (src, dst). Kept beside
-    the operator so the integer recurrence can never drift between the
-    engines (the registry splices it into the driver gate verbatim).
-    """
+) -> tuple[str, str]:
+    """(with_body, final_relation) for the unrolled oracle — composable
+    form so downstream oracles (crawl-budget apportionment) splice the
+    identical recurrence instead of restating it."""
     damp_base = damp_den - damp_num
     parts = [
         f"edges AS ({edges_cte})",
@@ -149,7 +146,21 @@ def pagerank_sql(
   FROM nodes n LEFT JOIN inc i USING (host)
 )"""
         )
-    return (
-        "WITH " + ",\n".join(parts)
-        + f"\nSELECT host, rank_u FROM r{iters}"
-    )
+    return ",\n".join(parts), f"r{iters}"
+
+
+def pagerank_sql(
+    edges_cte: str,
+    iters: int = 5,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+) -> str:
+    """The DuckDB oracle for :func:`pagerank`, iterations unrolled.
+
+    ``edges_cte`` is a SQL body producing DISTINCT (src, dst). Kept beside
+    the operator so the integer recurrence can never drift between the
+    engines (the registry splices it into the driver gate verbatim).
+    """
+    body, final = pagerank_cte(edges_cte, iters, scale, damp_num, damp_den)
+    return f"WITH {body}\nSELECT host, rank_u FROM {final}"

@@ -94,3 +94,76 @@ def dequeue_topk(
     return pq_rank(frontier, host_col, priority_col, tiebreak_cols).filter(
         F.col(RANK_COL) <= k
     )
+
+
+def allocate_budget(
+    weights: DataFrame,
+    total: int,
+    host_col: str = "hostname",
+    weight_col: str = "weight",
+    out_col: str = "budget",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer fetch
+    budget across hosts, proportional to ``weight_col`` — the scheduling
+    bridge from :mod:`graph`'s PageRank to per-host crawl quotas:
+    sum(budget) == total EXACTLY, every step integer (deterministic on any
+    engine/partitioning).
+
+        base_i = total·w_i div W ;  rem_i = (total·w_i) mod W
+        leftover = total − Σ base_i  →  +1 to the ``leftover`` largest
+        remainders (hostname-asc tie-break)
+
+    Caller contract: ``total · max(w) < 2^63`` (pre-scale huge weights —
+    PageRank micro-units at 10^12 allow totals up to ~10^6 unscaled).
+    Shapes: two 1-row cross joins carry the scalars in-plan (no driver
+    collect); the global remainder rank uses :func:`skew.ranked_by_host`'s
+    two-pass form over a constant partition key, so even a 10^8-host dim
+    never sorts in one task. Zero/negative-weight hosts get base 0 and
+    compete only via remainders (all equal 0 ⇒ hostname order).
+    """
+    w = weights.select(
+        F.col(host_col).alias("hostname"),
+        # negative weights clamp to 0: they'd break the Σbudget == total
+        # invariant (negative bases)
+        F.greatest(F.col(weight_col).cast("long"), F.lit(0)).alias("__w"),
+    )
+    # greatest(·,1): an all-zero-weight dim degrades to base 0 for everyone
+    # (leftover distributes by hostname order) instead of an ANSI
+    # divide-by-zero
+    tot = w.agg(
+        F.greatest(F.coalesce(F.sum("__w"), F.lit(0)), F.lit(1)).alias("__W")
+    )
+    # alias both sides: tot derives from w, and Spark 4's analyzer flags
+    # the re-used __w attribute in the self-lineage cross join as ambiguous
+    based = (
+        w.alias("__wl").crossJoin(F.broadcast(tot.alias("__tr")))
+        .select(
+            F.col("__wl.hostname").alias("hostname"),
+            F.expr(f"CAST({total} AS BIGINT) * __wl.__w div __tr.__W").alias(
+                "__base"
+            ),
+            F.expr(f"(CAST({total} AS BIGINT) * __wl.__w) % __tr.__W").alias(
+                "__rem"
+            ),
+        )
+    )
+    leftover = based.agg(
+        (F.lit(total) - F.coalesce(F.sum("__base"), F.lit(0))).alias("__L")
+    )
+    ranked = skew.ranked_by_host(
+        based.withColumn("__all", F.lit(1)),
+        "__all",
+        ["__rem", "hostname"],
+        out_col="__rr",
+        ascending=[False, True],
+    )
+    return (
+        ranked.alias("__rl").crossJoin(F.broadcast(leftover.alias("__lr")))
+        .select(
+            F.col("__rl.hostname").alias(host_col),
+            (
+                F.col("__rl.__base")
+                + F.when(F.col("__rl.__rr") <= F.col("__lr.__L"), 1).otherwise(0)
+            ).cast("long").alias(out_col),
+        )
+    )

@@ -2570,6 +2570,56 @@ WHERE s.media_ref IS NULL
 """
 
 
+def q_crawl_budget(spark, sf_dir):
+    """PageRank → crawl-quota bridge (pqueue.allocate_budget): Hamilton
+    largest-remainder apportionment of a 100k-fetch budget across hosts
+    proportional to their exact-integer PageRank — Σbudget == total
+    exactly; the whole composition (5 PR rounds + apportionment) is one
+    integer program replayed verbatim by the oracle."""
+    from starchart_spark.operators import graph, pqueue
+
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 41).cast("string")).alias("dst"),
+    ).distinct()
+    ranks = graph.pagerank(edges, iters=5)
+    return pqueue.allocate_budget(
+        ranks, total=100_000, host_col="host", weight_col="rank_u"
+    )
+
+
+def _sql_crawl_budget() -> str:
+    from starchart_spark.operators import graph
+
+    body, final = graph.pagerank_cte(
+        "SELECT DISTINCT 'h' || (o_custkey % 37) AS src,"
+        " 'h' || (o_orderkey % 41) AS dst FROM orders",
+        iters=5,
+    )
+    return f"""
+WITH {body},
+w AS (SELECT host, greatest(rank_u, 0) AS wv FROM {final}),
+tot AS (SELECT greatest(coalesce(SUM(wv), 0), 1) AS W FROM w),
+based AS (
+  SELECT host, (100000 * wv) // (SELECT W FROM tot) AS base,
+         (100000 * wv) % (SELECT W FROM tot) AS rem
+  FROM w
+),
+lo AS (SELECT 100000 - coalesce(SUM(base), 0) AS L FROM based),
+ranked AS (
+  SELECT host, base,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rr
+  FROM based
+)
+SELECT host, base + (CASE WHEN rr <= (SELECT L FROM lo) THEN 1 ELSE 0 END)
+         AS budget
+FROM ranked
+"""
+
+
+SQL_CRAWL_BUDGET = _sql_crawl_budget()
+
+
 def q_mirror_hosts(spark, sf_dir):
     """Mirror-host detection (winnow.mirror_hosts, Bharat & Broder 1999):
     every document is duplicated onto a second synthetic host family
@@ -2751,6 +2801,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "media_frontier": (q_media_frontier, SQL_MEDIA_FRONTIER),
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
+    "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

@@ -91,3 +91,31 @@ def test_constant_priority_collapses_to_crawl_order(spark):
     exp = {(r["hostname"], r["page"], r["idx_in_page"]): r["slot_ms"]
            for r in want.collect()}
     assert got == exp
+
+
+def test_allocate_budget_hamilton_invariants(spark):
+    """Σ budget == total EXACTLY, proportionality holds, zero/negative
+    weights clamp to base 0 — the pure-integer Hamilton contract that lets
+    the PageRank→quota bridge replay identically on any engine."""
+    w = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1), ("d", 0), ("e", -7)],
+        ["hostname", "weight"],
+    )
+    out = {r["hostname"]: r["budget"]
+           for r in pqueue.allocate_budget(w, total=100).collect()}
+    assert sum(out.values()) == 100
+    # W=9: bases 55/33/11/0/0, leftover 1 goes to the largest remainder
+    # (a: 500%9=5, b: 300%9=3, c: 100%9=1, d/e: 0)
+    assert out == {"a": 56, "b": 33, "c": 11, "d": 0, "e": 0}
+
+
+def test_allocate_budget_all_zero_weights(spark):
+    """Degenerate all-zero dim: bases 0, leftover spreads in hostname
+    order (no divide-by-zero under ANSI)."""
+    w = spark.createDataFrame(
+        [("z", 0), ("a", 0), ("m", 0)], ["hostname", "weight"]
+    )
+    out = {r["hostname"]: r["budget"]
+           for r in pqueue.allocate_budget(w, total=2).collect()}
+    assert sum(out.values()) == 2
+    assert out == {"a": 1, "m": 1, "z": 0}
