@@ -2717,6 +2717,172 @@ FROM agg
 """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Per-host HyperLogLog distinct-URL estimate (operators/sketch.py):
+    7 synthetic hosts over orders, key = o_orderkey, b=12 (±1.6%). Emits
+    the INTEGER sketch core (present registers, scaled harmonic sum) plus
+    the raw estimate — exact longs end to end, one final division, so the
+    oracle replays the identical program with no float-sum ordering or
+    libm dependence."""
+    from starchart_spark.operators import sketch
+
+    b = 12
+    m = 1 << b
+    rmax = sketch.HASH_BITS - b + 1
+    alpha_num = sketch.hll_alpha(m) * m * m * float(1 << rmax)
+    hosts = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 7).cast("string")).alias(
+            "hostname"
+        ),
+        F.col("o_orderkey").alias("key"),
+    )
+    regs = sketch.hll_registers(hosts, "key", ["hostname"], b=b, portable=True)
+    s = sketch.hll_sum(regs, ["hostname"], b=b)
+    return s.select(
+        "hostname",
+        "present",
+        "s_int",
+        (F.lit(alpha_num) / F.col("s_int").cast("double")).alias("raw_est"),
+    )
+
+
+def _sql_hll_distinct() -> str:
+    from starchart_spark.operators import sketch
+
+    b = 12
+    m = 1 << b
+    rest_bits = sketch.HASH_BITS - b
+    rmax = rest_bits + 1
+    alpha_num = sketch.hll_alpha(m) * m * m * float(1 << rmax)
+    return f"""
+WITH keyed AS (
+  SELECT 'h' || (o_custkey % 7) AS hostname,
+         (((((o_orderkey % 2147483647) * (o_orderkey % 2147483647))
+            % 2147483647) * 1327217885 + (o_orderkey % 2147483647))
+          % 2147483647) AS h
+  FROM orders
+),
+split AS (
+  SELECT hostname, h % {m} AS bucket,
+         CAST((h - (h % {m})) / {m} AS BIGINT) AS rest
+  FROM keyed
+),
+regs AS (
+  SELECT hostname, bucket,
+         MAX(CASE WHEN rest = 0 THEN {rmax}
+                  ELSE {rmax} - length(bin(rest)) END) AS rho
+  FROM split GROUP BY hostname, bucket
+),
+s AS (
+  SELECT hostname, CAST(COUNT(*) AS BIGINT) AS present,
+         SUM(CAST({1 << rmax} AS BIGINT) >> rho)
+           + ({m} - COUNT(*)) * CAST({1 << rmax} AS BIGINT) AS s_int
+  FROM regs GROUP BY hostname
+)
+SELECT hostname, present, s_int,
+       {alpha_num!r} / CAST(s_int AS DOUBLE) AS raw_est
+FROM s
+"""
+
+
+SQL_HLL_DISTINCT = _sql_hll_distinct()
+
+
+def q_cms_hot_hosts(spark, sf_dir):
+    """Count-min heavy hitters (operators/sketch.py): fetch traffic where
+    every third order hits one of 5 hot hosts and the rest spread over
+    997 — the sketch (d=4 × w=2048 cells, fixed size at any input scale)
+    must surface every true heavy hitter (one-sided guarantee). Pure
+    integer counts — exact oracle match."""
+    from starchart_spark.operators import sketch
+
+    traffic = _t(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0, (F.col("o_custkey") % 5).cast("long")
+        )
+        .otherwise((F.col("o_custkey") % 997 + 100).cast("long"))
+        .alias("host_key")
+    )
+    return sketch.cms_heavy_hitters(
+        traffic, "host_key", threshold=500, d=4, w=2048, portable=True
+    )
+
+
+SQL_CMS_HOT_HOSTS = """
+WITH traffic AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_custkey % 5
+              ELSE o_custkey % 997 + 100 END AS host_key
+  FROM orders
+),
+rows_dim AS (SELECT UNNEST([0, 1, 2, 3]) AS row),
+hashed AS (
+  SELECT host_key, row,
+         ((((x * x) % 2147483647) * 1327217885 + x) % 2147483647) AS h
+  FROM (
+    SELECT host_key, row,
+           ((host_key + row * 40503551) % 2147483647) AS x
+    FROM traffic, rows_dim
+  )
+),
+sketch AS (
+  SELECT row, h % 2048 AS cell, COUNT(*) AS cnt
+  FROM hashed GROUP BY row, h % 2048
+),
+cands AS (SELECT DISTINCT host_key FROM traffic),
+probes AS (
+  SELECT c.host_key, r.row,
+         (((((((c.host_key + r.row * 40503551) % 2147483647)
+              * ((c.host_key + r.row * 40503551) % 2147483647))
+             % 2147483647) * 1327217885
+            + ((c.host_key + r.row * 40503551) % 2147483647))
+           % 2147483647) % 2048) AS cell
+  FROM cands c, rows_dim r
+),
+est AS (
+  SELECT p.host_key, MIN(COALESCE(s.cnt, 0)) AS est
+  FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.cell = s.cell
+  GROUP BY p.host_key
+)
+SELECT host_key, est FROM est WHERE est >= 500
+"""
+
+
+def q_hrw_shards(spark, sf_dir):
+    """Rendezvous-hash shard assignment (operators/sketch.py): every
+    distinct customer key mapped to one of 8 scheduler shards by
+    highest-random-weight argmax — the stable host→worker map that moves
+    only ~1/(n+1) of hosts on resize (mod-hashing moves (n−1)/n). Exact
+    integer argmax — oracle replays the encoded-max program."""
+    from starchart_spark.operators import sketch
+
+    hosts = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("host_key"))
+        .distinct()
+    )
+    return sketch.hrw_assign(hosts, 8, portable=True)
+
+
+SQL_HRW_SHARDS = """
+WITH hosts AS (SELECT DISTINCT o_custkey AS host_key FROM orders),
+shards AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS s),
+scored AS (
+  SELECT host_key, s,
+         ((((x * x) % 2147483647) * 1327217885 + x) % 2147483647) AS score
+  FROM (
+    SELECT host_key, s,
+           ((host_key + s * 40503551) % 2147483647) AS x
+    FROM hosts, shards
+  )
+),
+enc AS (
+  SELECT host_key, MAX(score * 8 + (7 - s)) AS e
+  FROM scored GROUP BY host_key
+)
+SELECT host_key, CAST(7 - (e % 8) AS INTEGER) AS shard FROM enc
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2802,6 +2968,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "cms_hot_hosts": (q_cms_hot_hosts, SQL_CMS_HOT_HOSTS),
+    "hrw_shards": (q_hrw_shards, SQL_HRW_SHARDS),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

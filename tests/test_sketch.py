@@ -1,0 +1,175 @@
+"""Sketch operators: HLL cardinality, count-min frequency, HRW sharding.
+
+Each sketch's probabilistic guarantee is asserted against exact
+recomputation on the same data; mergeability (the property that makes the
+fixed-size state worth shipping through a shuffle) is asserted
+structurally — registers of a union == merged registers of the parts.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from starchart_spark.operators import sketch
+
+
+def _ids(spark, n, start=0):
+    return spark.range(start, start + n).select(F.col("id").alias("key"))
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_hll_accuracy(spark, portable):
+    n, b = 20_000, 12
+    df = _ids(spark, n)
+    est = sketch.hll_estimate(df, "key", b=b, portable=portable).collect()[0]["est"]
+    # 3σ at b=12: 3·1.04/√4096 ≈ 4.9%
+    assert abs(est - n) / n < 0.05, est
+
+
+def test_hll_grouped_and_duplicates(spark):
+    """Duplicates never move the estimate (registers are max-folds), and
+    grouping keys stay independent."""
+    df = (
+        _ids(spark, 5_000)
+        .withColumn("g", (F.col("key") % 2).cast("int"))
+        .withColumn("key", F.col("key") - F.pmod(F.col("key"), F.lit(2)))
+    )  # per group: 2500 distinct keys, each key appearing once per group
+    doubled = df.union(df).union(df)
+    base = {
+        r["g"]: r["est"]
+        for r in sketch.hll_estimate(df, "key", ["g"], b=10, portable=True).collect()
+    }
+    dup = {
+        r["g"]: r["est"]
+        for r in sketch.hll_estimate(
+            doubled, "key", ["g"], b=10, portable=True
+        ).collect()
+    }
+    assert base == dup
+    for g, est in base.items():
+        assert abs(est - 2_500) / 2_500 < 0.12, (g, est)  # 3σ at b=10 ≈ 9.8%
+
+
+def test_hll_registers_merge(spark):
+    """Union-then-sketch == sketch-then-max-merge: the mergeability that
+    lets per-partition / per-day register tables roll up without rescan."""
+    a, bdf = _ids(spark, 3_000), _ids(spark, 3_000, start=1_500)
+    whole = sketch.hll_registers(a.union(bdf), "key", b=8, portable=True)
+    merged = (
+        sketch.hll_registers(a, "key", b=8, portable=True)
+        .union(sketch.hll_registers(bdf, "key", b=8, portable=True))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Tiny cardinalities route through the linear-counting branch and
+    land near-exact (the raw estimator is badly biased down here)."""
+    df = _ids(spark, 30)
+    est = sketch.hll_estimate(df, "key", b=12, portable=True).collect()[0]["est"]
+    assert abs(est - 30) <= 2, est
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_cms_overestimate_and_bound(spark, portable):
+    """est ≥ true for EVERY key (structural), and the ε·N overshoot bound
+    holds for the vast majority (probabilistic, d=4 ⇒ δ≈1.8%)."""
+    # zipf-ish: key k appears ~ 2000//(k+1) times
+    df = (
+        spark.range(200)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(1), (2000 / (F.col("id") + 1)).cast("int")
+                )
+            ).alias("x"),
+            F.col("id").alias("key"),
+        )
+        .select("key")
+    )
+    n_total = df.count()
+    true = {r["key"]: r["cnt"] for r in df.groupBy("key").agg(F.count("*").alias("cnt")).collect()}
+    d, w = 4, 1024
+    sk = sketch.cms_build(df, "key", d=d, w=w, portable=portable)
+    est = {
+        r["key"]: r["est"]
+        for r in sketch.cms_lookup(
+            sk, df.select("key").distinct(), "key", d=d, w=w, portable=portable
+        ).collect()
+    }
+    eps_n = math.e / w * n_total
+    overshoots = 0
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+        if est[k] > t + eps_n:
+            overshoots += 1
+    assert overshoots <= max(2, 0.05 * len(true)), overshoots
+
+
+def test_cms_heavy_hitters_no_miss(spark):
+    """One-sided guarantee: every true-heavy key is returned."""
+    hot = spark.range(5).select(
+        F.explode(F.sequence(F.lit(1), F.lit(500))).alias("x"),
+        F.col("id").alias("key"),
+    ).select("key")
+    cold = spark.range(100, 1100).select(F.col("id").alias("key"))
+    df = hot.union(cold)
+    hits = {
+        r["key"]
+        for r in sketch.cms_heavy_hitters(
+            df, "key", threshold=400, d=4, w=2048, portable=True
+        ).collect()
+    }
+    assert {0, 1, 2, 3, 4} <= hits
+
+
+def test_cms_weighted(spark):
+    """weight_col sums an integer measure (bytes) instead of occurrences."""
+    df = spark.createDataFrame(
+        [(1, 100), (1, 250), (2, 7)], ["key", "nbytes"]
+    )
+    sk = sketch.cms_build(df, "key", d=3, w=64, weight_col="nbytes", portable=True)
+    est = {
+        r["key"]: r["est"]
+        for r in sketch.cms_lookup(
+            sk, df.select("key").distinct(), "key", d=3, w=64, portable=True
+        ).collect()
+    }
+    assert est[1] >= 350 and est[2] >= 7
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_hrw_minimal_disruption(spark, portable):
+    """Resizing W→W+1 only moves hosts TO the new shard, ≈1/(W+1) of them
+    — the property that keeps politeness state put (mod-hashing moves
+    (W-1)/W of all hosts)."""
+    hosts = spark.range(4_000).select(F.col("id").alias("host_key"))
+    w = 8
+    before = {
+        r["host_key"]: r["shard"]
+        for r in sketch.hrw_assign(hosts, w, portable=portable).collect()
+    }
+    after = {
+        r["host_key"]: r["shard"]
+        for r in sketch.hrw_assign(hosts, w + 1, portable=portable).collect()
+    }
+    moved = [k for k in before if before[k] != after[k]]
+    assert all(after[k] == w for k in moved)  # only TO the new shard
+    frac = len(moved) / len(before)
+    assert abs(frac - 1 / (w + 1)) < 0.04, frac
+
+
+def test_hrw_balance_and_determinism(spark):
+    hosts = spark.range(8_000).select(F.col("id").alias("host_key"))
+    out = sketch.hrw_assign(hosts, 16, portable=True)
+    loads = {r["shard"]: r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(loads) == set(range(16))
+    mean = 8_000 / 16
+    assert all(abs(n - mean) / mean < 0.25 for n in loads.values()), loads
+    again = sketch.hrw_assign(hosts, 16, portable=True)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
