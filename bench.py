@@ -98,6 +98,14 @@ HEADLINE_QUERIES = [
     "host_pagerank",
     "winnow_fingerprint",
     "trap_filter",
+    # round-5 session-8: PageRank->quota Hamilton apportionment, and the
+    # fixed-size frontier-telemetry sketches (HLL distinct, count-min hot
+    # hosts, rendezvous shard map) whose shuffles carry registers/cells,
+    # not keys
+    "crawl_budget",
+    "hll_distinct",
+    "cms_hot_hosts",
+    "hrw_shards",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge
