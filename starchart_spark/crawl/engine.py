@@ -60,6 +60,7 @@ from starchart_spark.functions.urls import canonicalize_udf, host_bucket, url_ha
 from starchart_spark.operators import bloom as bloom_mod
 from starchart_spark.operators import dedup, multimodal, normalize, politeness, skew
 from starchart_spark.operators import robots as robots_mod
+from starchart_spark.operators import sketch as sketch_mod
 from starchart_spark.snapstore import SnapshotTable, _key_join, multi_commit
 
 # RFC 9309 product token the engine selects robots.txt groups for — the
@@ -175,6 +176,17 @@ class CrawlSettings:
     # never schedules media, so reference-parity runs keep their exact
     # plan and url_seen membership.
     discover_media: bool = False
+    # per-host distinct-URL telemetry (operators/sketch.py): when on, each
+    # batch APPENDS the HLL registers of its new url_seen keys to the
+    # host_hll log inside the same multi_commit (one extra groupBy in the
+    # commit DAG, no ledger read in the hot path). A key enters url_seen
+    # exactly once and registers are max-folds, so folding the log equals
+    # the sketch of the whole table — see host_distinct_estimates(). Off by
+    # default: default-mode plans stay byte-identical.
+    track_host_distincts: bool = False
+    # register precision for the host_hll ledger (m = 2^b registers/host,
+    # rel. error ≈ 1.04/√m — b=12 ⇒ ±1.6%)
+    hll_b: int = 12
     # plan compaction (round-5 cadence work): eagerly localCheckpoint the
     # deep parse/schedule intermediates so every downstream branch of the
     # commit DAG references a shallow scan instead of re-embedding the full
@@ -257,6 +269,9 @@ class CrawlEngine:
             "media_assets", tables.MEDIA_ASSETS,
             ["hostname", "media_ref"], ("hostname", B),
         )
+        # per-host HLL register log (track_host_distincts mode): append-only,
+        # folded on read — see host_distinct_registers()
+        self.host_hll = t("host_hll", tables.HOST_HLL, [])
 
     # -- helpers ---------------------------------------------------------------
 
@@ -430,6 +445,23 @@ class CrawlEngine:
             (self.forges, fresh, "merge-append"),
             (self.url_seen, keys_fresh, "merge-append"),
         ]
+        if self.s.track_host_distincts:
+            # the ledger must cover EVERY url_seen writer, or the fold
+            # drifts from the table sketch — seed keys enter here, not
+            # through a batch commit (test_host_telemetry fold-equality)
+            parts.append(
+                (
+                    self.host_hll,
+                    sketch_mod.hll_registers(
+                        keys_fresh, "key_hash", ["hostname"], b=self.s.hll_b
+                    ).select(
+                        "hostname",
+                        F.col("bucket").cast("int").alias("hll_bucket"),
+                        F.col("rho").cast("int").alias("hll_rho"),
+                    ),
+                    "append",
+                )
+            )
         if compiled_rules is not None:
             parts.append((self.robots_rules, compiled_rules, "overwrite"))
         parts.append((self.state, state, "overwrite"))
@@ -465,7 +497,8 @@ class CrawlEngine:
             return
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
                     self.media_assets, self.lineage, self.visit_log,
-                    self.pending, self.bloom_state, self.body_cache):
+                    self.pending, self.bloom_state, self.body_cache,
+                    self.host_hll):
             while True:
                 cur = tbl.current_snapshot()
                 if cur is None:
@@ -602,7 +635,7 @@ class CrawlEngine:
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
                     self.media_assets, self.lineage, self.visit_log, self.state,
                     self.pending, self.bloom_state, self.body_cache,
-                    self.robots_rules):
+                    self.robots_rules, self.host_hll):
             tbl.expire_snapshots(self.s.snapshot_keep)
         return {"batches": batches, "last_batch_id": batch_id}
 
@@ -1245,6 +1278,20 @@ class CrawlEngine:
                 .dropDuplicates(["hostname", "doc_id"])
             )
             parts.append((self.body_cache, new_cache, "overwrite"))
+        if s.track_host_distincts:
+            # registers of THIS batch's new keys only: a key is new exactly
+            # once (the in-DAG anti-joins above + the atomic-batch rollback
+            # guard make the append exactly-once, like visit_log), so the
+            # read-side max-fold over the log equals the registers of the
+            # whole url_seen table — no ledger read here, one extra groupBy
+            regs = sketch_mod.hll_registers(
+                seen_rows, "key_hash", ["hostname"], b=s.hll_b, portable=False
+            ).select(
+                "hostname",
+                F.col("bucket").cast("int").alias("hll_bucket"),
+                F.col("rho").cast("int").alias("hll_rho"),
+            )
+            parts.append((self.host_hll, regs, "append"))
         parts += [
             (self.visit_log, visits, "append"),
             (self.lineage, lineage, "append"),
@@ -1354,6 +1401,32 @@ class CrawlEngine:
         return seen_keys
 
     # -- derived outputs -------------------------------------------------------------
+
+    def host_distinct_registers(self) -> DataFrame:
+        """Fold the host_hll append log to current registers
+        (hostname, bucket, rho) — equals
+        ``sketch.hll_registers(url_seen, 'key_hash', ['hostname'])``
+        exactly (each key appended its registers once; max is associative,
+        commutative, idempotent), asserted in test_host_telemetry."""
+        log = self.host_hll.read(self.spark)
+        return log.groupBy(
+            "hostname", F.col("hll_bucket").alias("bucket")
+        ).agg(F.max("hll_rho").alias("rho"))
+
+    def host_distinct_estimates(self) -> DataFrame:
+        """(hostname, est): estimated distinct seen URLs per host from the
+        register ledger — the fixed-size answer to 'how big is each host's
+        footprint' that never rescans url_seen (at 10^10 URLs the ledger
+        fold touches hosts × ≤ 2^b rows, not keys).
+
+        Semantics: EVER-seen distinct count. Registers are max-folds, so
+        delete_users/delete_repositories (which remove url_seen rows)
+        cannot subtract here — the right reading for discovery telemetry,
+        and the standard HLL limitation (a decayed window would keep
+        per-epoch ledgers and fold the live ones)."""
+        return sketch_mod.hll_estimate_from_registers(
+            self.host_distinct_registers(), ["hostname"], b=self.s.hll_b
+        )
 
     def crawl_order(self) -> DataFrame:
         """Golden-comparable visit order: pure function of (forge_id, page,

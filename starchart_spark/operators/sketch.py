@@ -167,12 +167,22 @@ def hll_estimate(
     the driver-gated query emits the integer core + raw estimate instead,
     so oracle hashing never depends on libm rounding.
     """
+    return hll_estimate_from_registers(
+        hll_registers(df, key_col, group_cols, b, portable, salt), group_cols, b
+    )
+
+
+def hll_estimate_from_registers(
+    registers: DataFrame, group_cols: Sequence[str] = (), b: int = 12
+) -> DataFrame:
+    """Estimate from an existing (possibly max-folded) register table —
+    the read side of an incrementally maintained register log (the engine's
+    ``host_hll`` ledger appends per-batch registers; fold with a
+    groupBy max first if the input has several rows per bucket)."""
     m = 1 << b
     rmax = HASH_BITS - b + 1
     alpha = hll_alpha(m)
-    s = hll_sum(
-        hll_registers(df, key_col, group_cols, b, portable, salt), group_cols, b
-    )
+    s = hll_sum(registers, group_cols, b)
     raw = F.lit(alpha * m * m * float(1 << rmax)) / F.col("s_int").cast("double")
     zeros = F.lit(m) - F.col("present")
     corrected = F.when(

@@ -2883,6 +2883,37 @@ SELECT host_key, CAST(7 - (e % 8) AS INTEGER) AS shard FROM enc
 """
 
 
+def q_shuffle_positions(spark, sf_dir):
+    """Deterministic global corpus shuffle (pretraining data-order
+    randomization): position = global rank by (LCG(doc_id, salt=epoch),
+    doc_id). Reproducible on any cluster size/partitioning — unlike
+    df.orderBy(rand()) — and a new epoch salt gives an independent order.
+    The rank is the two-pass skew-proof ranker (range-partition, local
+    rank, broadcast offsets), so a 10^10-doc corpus never sorts in one
+    task; the expensive sort is the range partitioner's (parallel,
+    balanced)."""
+    from starchart_spark.operators import sampling, skew
+
+    keyed = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("__k", sampling.selector("doc_id", salt=1))
+        .withColumn("__all", F.lit(1))
+    )
+    return skew.ranked_by_host(
+        keyed, "__all", ["__k", "doc_id"], out_col="position"
+    ).select("doc_id", "position")
+
+
+SQL_SHUFFLE_POSITIONS = f"""
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY {_SEL_SQL.format(col="(doc_id + 40503551)")}, doc_id
+       ) AS position
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2971,6 +3002,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "cms_hot_hosts": (q_cms_hot_hosts, SQL_CMS_HOT_HOSTS),
     "hrw_shards": (q_hrw_shards, SQL_HRW_SHARDS),
+    "shuffle_positions": (q_shuffle_positions, SQL_SHUFFLE_POSITIONS),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

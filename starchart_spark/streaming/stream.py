@@ -30,7 +30,7 @@ buffered page drains within the round its data arrives) and for
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Iterator
+from collections.abc import Iterable, Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -464,4 +464,34 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, horizon)
         .dropDuplicatesWithinWatermark(["text_key"])
         .drop("text_key")
+    )
+
+
+def streaming_hll_registers(
+    docs_stream: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    b: int = 12,
+    portable: bool = False,
+) -> DataFrame:
+    """Continuous per-group distinct-cardinality registers over an
+    unbounded stream — the batch :func:`sketch.hll_registers` plan is
+    already a streaming-legal aggregation (projection + groupBy max), so
+    this is the SAME operator handed a ``readStream`` frame; run the sink
+    in **complete** (or update) output mode.
+
+    Why this is the streaming-native cardinality operator: state is the
+    register table itself — bounded by groups × 2^b rows FOREVER, however
+    long the stream runs (an exact streaming distinct would grow state
+    with every new key; `dropDuplicatesWithinWatermark` bounds state only
+    by evicting, losing old keys from the count). Registers are max-folds,
+    so restart/replay of any prefix is idempotent, and the table read at
+    any point estimates the distinct count of everything seen so far
+    (feed it to :func:`sketch.hll_sum`/``hll_estimate`` batch-side).
+    Parity with the batch registers on the same rows is asserted in
+    tests/test_streaming.py."""
+    from starchart_spark.operators import sketch
+
+    return sketch.hll_registers(
+        docs_stream, key_col, group_cols, b=b, portable=portable
     )

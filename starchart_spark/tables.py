@@ -169,6 +169,21 @@ MEDIA_ASSETS = T.StructType(
     ]
 )
 
+# per-host HLL register LOG (engine track_host_distincts mode): each batch
+# appends the registers of its NEW url_seen keys only — a key is "new"
+# exactly once, and HLL registers are max-folds, so the read-side
+# groupBy(hostname, hll_bucket).max(hll_rho) over the log equals the
+# registers of the whole url_seen table EXACTLY (asserted in tests). No
+# table read in the hot path, append-only rows, bounded growth (a bucket's
+# rho can increase at most ~RMAX times ever).
+HOST_HLL = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("hll_bucket", T.IntegerType(), False),
+        T.StructField("hll_rho", T.IntegerType(), False),
+    ]
+)
+
 # compiled per-host robots.txt rules (operators/robots.py), written once at
 # init_state and broadcast-gated onto every batch's fetch URLs
 ROBOTS_RULES = T.StructType(

@@ -322,3 +322,43 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         r.text for r in df.join(batch_ids, "doc_id").select("text").collect()
     )
     assert batch_texts == got_texts
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """Streaming HLL registers (complete-mode max aggregate) == batch
+    registers on the same rows, across several micro-batches — the
+    bounded-state streaming cardinality path."""
+    import pyspark.sql.functions as F
+    from starchart_spark.operators import sketch
+
+    df = spark.range(2_000).select(
+        (F.col("id") % 3).cast("int").alias("g"), F.col("id").alias("key")
+    )
+    drop_dir = str(tmp_path / "keys")
+    df.repartition(4, "key").write.parquet(drop_dir)
+
+    src = (
+        spark.readStream.schema("g int, key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = (
+        stream.streaming_hll_registers(src, "key", ["g"], b=8, portable=True)
+        .writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.sql("SELECT g, bucket, rho FROM hll_regs").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            sketch.hll_registers(df, "key", ["g"], b=8, portable=True).collect(),
+        )
+    )
+    assert got == want
