@@ -69,3 +69,66 @@ def due_hosts(schedule: DataFrame, now: int) -> DataFrame:
     the fixed-TTL predicate in ``CrawlEngine.reactivate_due`` (join this
     dim on hostname instead of comparing against one constant)."""
     return schedule.filter(F.lit(now) >= F.col("next_due")).select("hostname")
+
+
+def failure_backoff(
+    attempts: DataFrame,
+    base_ms: int = 60_000,
+    cap: int = 10,
+    host_col: str = "hostname",
+    ts_col: str = "ts",
+    ok_col: str = "ok",
+) -> DataFrame:
+    """Per-host exponential retry backoff from a fetch-attempt log:
+    (host, fails_since_ok, last_ts, next_attempt) with
+
+        next_attempt = last_ts + base_ms · 2^min(fails_since_ok, cap)
+
+    (fails_since_ok = attempts strictly after the host's last success;
+    a currently-healthy host retries after one base interval). The
+    reference surfaces fetch errors and moves on (src/spider.rs error
+    paths); at open-frontier scale a dead host must not burn its
+    politeness slot every cycle — truncated binary backoff is the
+    standard remedy, and the doubling is exact integer shift arithmetic,
+    so the schedule replays identically on any engine.
+
+    Shape: two host-keyed hash aggregates (last-success ts, then trailing
+    failure count) — map-side partials, no window, per-host state is two
+    longs however mega the host. Composes with ``due_hosts`` /
+    ``reactivate_due`` as the error-path sibling of the change-rate TTL.
+    """
+    per_host = attempts.groupBy(F.col(host_col).alias("hostname")).agg(
+        F.max(F.when(F.col(ok_col), F.col(ts_col))).alias("__last_ok"),
+        F.max(F.col(ts_col)).alias("last_ts"),
+    )
+    fails = (
+        attempts.select(F.col(host_col).alias("hostname"), ts_col, ok_col)
+        .join(per_host, "hostname")
+        .filter(
+            ~F.col(ok_col)
+            & (
+                F.col("__last_ok").isNull()
+                | (F.col(ts_col) > F.col("__last_ok"))
+            )
+        )
+        .groupBy("hostname")
+        .agg(F.count(F.lit(1)).alias("fails_since_ok"))
+    )
+    return (
+        per_host.join(fails, "hostname", "left")
+        .select(
+            "hostname",
+            F.coalesce(F.col("fails_since_ok"), F.lit(0))
+            .cast("long")
+            .alias("fails_since_ok"),
+            F.col("last_ts").cast("long").alias("last_ts"),
+            (
+                F.col("last_ts")
+                + F.lit(base_ms)
+                * F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(least(coalesce(fails_since_ok, 0), {cap}) AS INT))"
+                )
+            ).cast("long").alias("next_attempt"),
+        )
+    )

@@ -346,3 +346,77 @@ def hrw_assign(
 
 
 
+
+
+# --------------------------------------------------------------------------
+# Log2 histogram (mergeable quantile telemetry)
+
+
+def log2_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Mergeable per-group latency/size histogram with power-of-two
+    buckets: (group_cols..., hbucket, cnt) where
+
+        hbucket = 0 for v ≤ 0, else bit-length(v) = floor(log2 v) + 1
+
+    via ``length(bin(v))`` — the same exact-integer rank primitive the HLL
+    registers use, identical in DuckDB. Fixed size (≤ 64 buckets per
+    group), merges by summing counts, and any quantile of the original
+    distribution is answered to within the bucket's 2× value bound —
+    the standard log-histogram guarantee (HdrHistogram's coarsest tier).
+    Per-host fetch-latency telemetry at 10^10 fetches shuffles ≤ 64 longs
+    per host, not samples.
+    """
+    v = F.col(value_col).cast("long")
+    hb = F.when(v <= 0, F.lit(0)).otherwise(F.length(F.bin(v))).cast("int")
+    return (
+        df.select(*group_cols, hb.alias("hbucket"))
+        .groupBy(*group_cols, "hbucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    q_permille: int,
+    group_cols: Sequence[str] = (),
+    out_col: str = "q_upper",
+) -> DataFrame:
+    """Per-group quantile estimate from a :func:`log2_histogram`:
+    the UPPER bound (2^hbucket − 1) of the first bucket whose running
+    count reaches ceil(q·N) — true quantile ∈ (upper/2, upper], the 2×
+    bound. ``q_permille`` keeps the rank threshold integer (999 = p99.9):
+    rank = (N·q + 999) div 1000 — no float comparisons anywhere, so the
+    estimate is a pure integer function of the histogram on any engine.
+
+    Shape: one window cumsum over ≤ 64 rows per group + one min aggregate
+    — the window partition is a GROUP's histogram, never row-scale data
+    (contrast percentile_approx, which shuffles samples).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("hbucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("__n"))
+    cumd = hist.withColumn("__cum", F.sum("cnt").over(w))
+    # ungrouped: the total is a 1-row scalar — broadcast cross join (an
+    # empty-key equi-join is not a join)
+    cum = (
+        cumd.join(tot, list(group_cols))
+        if group_cols
+        else cumd.crossJoin(F.broadcast(tot))
+    )
+    rank = F.expr(f"(__n * {q_permille} + 999) div 1000")
+    hit = cum.filter(F.col("__cum") >= rank)
+    return hit.groupBy(*group_cols).agg(
+        (
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(min(hbucket) AS INT))")
+            - F.lit(1)
+        ).alias(out_col)
+    )

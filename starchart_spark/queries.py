@@ -2914,6 +2914,97 @@ FROM documents
 """
 
 
+def q_latency_quantiles(spark, sf_dir):
+    """Per-event-type p50/p99 from the mergeable log2 histogram
+    (sketch.log2_histogram / histogram_quantile): ≤64 buckets per group
+    however many events, quantiles as pure integer bucket upper bounds
+    (the 2× log-histogram guarantee) — the fetch-latency telemetry shape
+    for 10^10 fetches."""
+    from starchart_spark.operators import sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.floor("value").cast("long").alias("v")
+    )
+    hist = sketch.log2_histogram(ev, "v", ["event_type"])
+    p50 = sketch.histogram_quantile(hist, 500, ["event_type"], "p50_upper")
+    p99 = sketch.histogram_quantile(hist, 990, ["event_type"], "p99_upper")
+    return p50.join(p99, "event_type")
+
+
+SQL_LATENCY_QUANTILES = """
+WITH ev AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events
+),
+hist AS (
+  SELECT event_type,
+         CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS hbucket,
+         COUNT(*) AS cnt
+  FROM ev GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, hbucket, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY hbucket
+                        ROWS UNBOUNDED PRECEDING) AS c,
+         SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+q AS (
+  SELECT event_type,
+         MIN(CASE WHEN c >= (n * 500 + 999) // 1000 THEN hbucket END) AS b50,
+         MIN(CASE WHEN c >= (n * 990 + 999) // 1000 THEN hbucket END) AS b99
+  FROM cum GROUP BY event_type
+)
+SELECT event_type,
+       (CAST(1 AS BIGINT) << b50) - 1 AS p50_upper,
+       (CAST(1 AS BIGINT) << b99) - 1 AS p99_upper
+FROM q
+"""
+
+
+def q_retry_backoff(spark, sf_dir):
+    """Per-host truncated-binary retry backoff (recrawl.failure_backoff):
+    fetch-attempt log synthesized from events ('error' = failure),
+    next_attempt = last_ts + base·2^min(trailing_failures, cap) — exact
+    shift arithmetic, two host-keyed aggregates, no window."""
+    from starchart_spark.operators import recrawl
+
+    attempts = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "hostname"
+        ),
+        F.col("event_id").alias("ts"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    return recrawl.failure_backoff(attempts, base_ms=60_000, cap=10)
+
+
+SQL_RETRY_BACKOFF = """
+WITH attempts AS (
+  SELECT 'h' || (user_id % 20) AS hostname, event_id AS ts,
+         (event_type <> 'error') AS ok
+  FROM events
+),
+per_host AS (
+  SELECT hostname,
+         MAX(CASE WHEN ok THEN ts END) AS last_ok,
+         MAX(ts) AS last_ts
+  FROM attempts GROUP BY hostname
+),
+fails AS (
+  SELECT a.hostname, COUNT(*) AS f
+  FROM attempts a JOIN per_host p ON a.hostname = p.hostname
+  WHERE NOT a.ok AND (p.last_ok IS NULL OR a.ts > p.last_ok)
+  GROUP BY a.hostname
+)
+SELECT p.hostname,
+       CAST(COALESCE(f.f, 0) AS BIGINT) AS fails_since_ok,
+       p.last_ts,
+       p.last_ts + 60000 * (CAST(1 AS BIGINT)
+         << CAST(least(COALESCE(f.f, 0), 10) AS INTEGER)) AS next_attempt
+FROM per_host p LEFT JOIN fails f ON p.hostname = f.hostname
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3003,6 +3094,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cms_hot_hosts": (q_cms_hot_hosts, SQL_CMS_HOT_HOSTS),
     "hrw_shards": (q_hrw_shards, SQL_HRW_SHARDS),
     "shuffle_positions": (q_shuffle_positions, SQL_SHUFFLE_POSITIONS),
+    "latency_quantiles": (q_latency_quantiles, SQL_LATENCY_QUANTILES),
+    "retry_backoff": (q_retry_backoff, SQL_RETRY_BACKOFF),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

@@ -73,3 +73,37 @@ def test_partition_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_failure_backoff_hand_case(spark):
+    from starchart_spark.operators import recrawl
+
+    rows = [
+        ("a", 10, True), ("a", 20, False), ("a", 30, False),
+        ("b", 50, True),
+        ("c", 5, False),
+    ]
+    df = spark.createDataFrame(rows, ["hostname", "ts", "ok"])
+    got = {
+        r["hostname"]: (r["fails_since_ok"], r["last_ts"], r["next_attempt"])
+        for r in recrawl.failure_backoff(df, base_ms=100).collect()
+    }
+    assert got == {
+        "a": (2, 30, 30 + 100 * 4),   # two trailing failures → 2^2
+        "b": (0, 50, 50 + 100),       # healthy → one base interval
+        "c": (1, 5, 5 + 100 * 2),     # never succeeded → 2^1
+    }
+
+
+def test_failure_backoff_cap_and_recovery(spark):
+    from starchart_spark.operators import recrawl
+
+    rows = [("h", t, False) for t in range(12)]  # 12 straight failures
+    df = spark.createDataFrame(rows, ["hostname", "ts", "ok"])
+    r = recrawl.failure_backoff(df, base_ms=10, cap=10).collect()[0]
+    assert r["fails_since_ok"] == 12
+    assert r["next_attempt"] == 11 + 10 * (1 << 10)  # capped at 2^10
+    # a success resets the trailing count
+    df2 = df.union(spark.createDataFrame([("h", 20, True)], df.schema))
+    r2 = recrawl.failure_backoff(df2, base_ms=10, cap=10).collect()[0]
+    assert r2["fails_since_ok"] == 0 and r2["next_attempt"] == 30

@@ -173,3 +173,51 @@ def test_hrw_balance_and_determinism(spark):
     assert all(abs(n - mean) / mean < 0.25 for n in loads.values()), loads
     again = sketch.hrw_assign(hosts, 16, portable=True)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_log2_histogram_buckets_and_merge(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 100)],
+        ["g", "v"],
+    )
+    got = {
+        (r["g"], r["hbucket"]): r["cnt"]
+        for r in sketch.log2_histogram(df, "v", ["g"]).collect()
+    }
+    # 0→0, 1→1, 2..3→2, 4→3, 100→7 (bin(100)='1100100')
+    assert got == {("a", 0): 1, ("a", 1): 1, ("a", 2): 2, ("a", 3): 1, ("a", 7): 1}
+    # mergeability: histogram of union == summed histograms of the parts
+    h1 = sketch.log2_histogram(df.limit(3), "v", ["g"])
+    h2 = sketch.log2_histogram(df.subtract(df.limit(3)), "v", ["g"])
+    merged = {
+        (r["g"], r["hbucket"]): r["cnt"]
+        for r in h1.union(h2).groupBy("g", "hbucket").agg(
+            F.sum("cnt").alias("cnt")
+        ).collect()
+    }
+    assert merged == got
+
+
+def test_histogram_quantile_two_x_bound(spark):
+    import random
+
+    rnd = random.Random(7)
+    vals = [rnd.randint(1, 100_000) for _ in range(5_000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    hist = sketch.log2_histogram(df, "v")
+    for qpm in (500, 900, 999):
+        upper = sketch.histogram_quantile(hist, qpm).collect()[0]["q_upper"]
+        exact = sorted(vals)[
+            min(len(vals) - 1, (len(vals) * qpm + 999) // 1000 - 1)
+        ]
+        assert upper / 2 < exact <= upper, (qpm, exact, upper)
+
+
+def test_histogram_quantile_hand_case(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,), (100,)], ["v"])
+    hist = sketch.log2_histogram(df, "v")
+    # N=5, p50 rank = (5*500+999) div 1000 = 3 → first bucket with cum≥3 is
+    # hbucket 2 (values 2,3) → upper 2^2−1 = 3
+    assert sketch.histogram_quantile(hist, 500).collect()[0]["q_upper"] == 3
+    # p100 → max bucket (100 → hbucket 7) → upper 127 ≥ max
+    assert sketch.histogram_quantile(hist, 1000).collect()[0]["q_upper"] == 127
