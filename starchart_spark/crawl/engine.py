@@ -1402,6 +1402,33 @@ class CrawlEngine:
 
     # -- derived outputs -------------------------------------------------------------
 
+    def compact_tables(self, min_files: int = 64) -> dict[str, int]:
+        """Small-file maintenance (snapstore.compact): rewrite any table
+        whose current snapshot references ≥ ``min_files`` data files down
+        to one file per bucket. The micro-batch writer accretes one file
+        per table per batch — at 10^4-batch cadence scan planning becomes
+        file listing, the classic Iceberg maintenance case. Run from a
+        maintenance window, never the batch loop (it rewrites O(table));
+        resume/rollback safety is untouched because compact commits carry
+        no batch_id, and incremental_read across a compact falls back to
+        the exact key diff. Returns {table: files_before} for the tables
+        compacted.
+
+        Torn-batch ordering: the resume guard walks snapshot summaries
+        newest-first and stops at the first non-batch commit, so compacting
+        ON TOP of a partial batch would hide it — roll back partials first
+        (idempotent no-op on a clean warehouse)."""
+        self._rollback_partial_batches()
+        out: dict[str, int] = {}
+        for tbl in (self.users, self.repositories, self.url_seen,
+                    self.media_assets, self.visit_log, self.lineage,
+                    self.host_hll, self.forges):
+            cur = tbl.current_snapshot()
+            if cur is not None and len(cur.data_files) >= min_files:
+                tbl.compact(self.spark)
+                out[os.path.basename(tbl.path.rstrip("/"))] = len(cur.data_files)
+        return out
+
     def host_distinct_registers(self) -> DataFrame:
         """Fold the host_hll append log to current registers
         (hostname, bucket, rho) — equals

@@ -424,7 +424,92 @@ class SnapshotTable:
                              **(summary or {})})
         return n
 
+    # -- incremental reads -------------------------------------------------------
+
+    def incremental_read(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Rows ADDED between two snapshots (Iceberg's incremental scan):
+        the downstream-consumer primitive — an index updater or replication
+        feed reads each crawl batch's new repositories without rescanning a
+        10^10-row table.
+
+        Exactness ladder, decided from METADATA alone:
+
+        - ``from.data_files ⊆ to.data_files`` — no file was removed or
+          rewritten between the snapshots, so the file DIFF is exactly the
+          added rows: read only those files, zero old data touched. This is
+          the steady-state engine shape (append / merge-append commits only
+          ever add files; merge-append rows are pre-anti-joined in-DAG, so
+          file-added == row-added).
+        - otherwise (an overwrite, compact, merge_update/delete rewrite in
+          the range) the file diff would double- or under-count: fall back
+          to the key-level anti-join ``to ⟵anti⟶ from`` (exact for keyed
+          tables; raises for key-less tables, whose writers are append-only
+          by construction so the fast path always applies).
+        """
+        snaps = {s.snapshot_id: s for s in self.snapshots()}
+        if from_snapshot_id not in snaps:
+            raise ValueError(
+                f"from_snapshot {from_snapshot_id} expired or unknown"
+            )
+        frm = snaps[from_snapshot_id]
+        to = (
+            snaps[to_snapshot_id]
+            if to_snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if to is None or to.snapshot_id == frm.snapshot_id:
+            return spark.createDataFrame([], self.schema)
+        if set(frm.data_files) <= set(to.data_files):
+            added = [f for f in to.data_files if f not in set(frm.data_files)]
+            return self._read_files(spark, added)
+        if not self.key_cols:
+            raise ValueError(
+                "incremental_read: snapshot range includes a rewrite and the "
+                "table has no key columns to diff on"
+            )
+        return _key_join(
+            self._read_files(spark, to.data_files),
+            self._read_files(spark, frm.data_files),
+            self.key_cols,
+            "left_anti",
+        )
+
     # -- maintenance -----------------------------------------------------------
+
+    def compact(self, spark: SparkSession, summary: dict | None = None) -> Snapshot:
+        """Rewrite the current snapshot into one data file per bucket (one
+        file total when unbucketed) — the small-file maintenance a
+        micro-batch writer needs: 10^4 batches otherwise leave 10^4 files
+        per bucket and scan planning degrades to file-listing time. Row
+        content is byte-identical (asserted in tests); bucket-purity is
+        preserved so matched-files-only MERGE keeps its O(touched buckets)
+        bound. Old files stay referenced by older snapshots until
+        ``expire_snapshots`` GCs them; ``incremental_read`` across a
+        compact correctly falls back to the key diff (the file-subset test
+        fails by construction)."""
+        cur = self.current_snapshot()
+        if cur is None or len(cur.data_files) <= 1:
+            return cur
+        df = self._read_files(spark, cur.data_files)
+        if self.bucket_by is None:
+            rels = [self._write_data_file(df.coalesce(1))]
+        else:
+            rels = self._write_bucket_files(df)
+        return self._commit(
+            rels,
+            {
+                "op": "compact",
+                "compacted_files": len(cur.data_files),
+                "new_files": len(rels),
+                "ts_ms": _now_ms(),
+                **(summary or {}),
+            },
+        )
 
     def expire_snapshots(self, keep: int = 5) -> int:
         """Drop all but the newest ``keep`` snapshots and GC unreferenced data

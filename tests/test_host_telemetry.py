@@ -96,3 +96,23 @@ def test_default_mode_writes_nothing(spark, tmp_path_factory):
     eng.run(dfs["documents"], batch_time_s=1_000)
     assert eng.host_hll.current_snapshot() is None
     assert eng.host_distinct_registers().count() == 0
+
+
+def test_compact_tables_preserves_everything(telemetry_crawl, spark):
+    """Maintenance compaction: row content of every table identical, file
+    counts reduced, ledger fold and crawl order unchanged."""
+    _, _, eng, _ = telemetry_crawl
+    before_regs = sorted(map(tuple, eng.host_distinct_registers().collect()))
+    before_seen = sorted(
+        map(tuple, eng.url_seen.read(spark).collect())
+    )
+    before_order = sorted(map(tuple, eng.crawl_order().collect()))
+    compacted = eng.compact_tables(min_files=2)
+    assert compacted  # multi-batch run left >1 file on several tables
+    for tbl in (eng.url_seen, eng.visit_log, eng.host_hll):
+        name = tbl.path.rstrip("/").split("/")[-1]
+        if name in compacted:
+            assert len(tbl.current_snapshot().data_files) < compacted[name]
+    assert sorted(map(tuple, eng.host_distinct_registers().collect())) == before_regs
+    assert sorted(map(tuple, eng.url_seen.read(spark).collect())) == before_seen
+    assert sorted(map(tuple, eng.crawl_order().collect())) == before_order

@@ -270,3 +270,93 @@ def test_merge_delete_returns_durable_rows(spark, tmp_path):
     tbl.merge_insert(spark, spark.createDataFrame([("c", 3)], SCHEMA))
     got = [r["k"] for r in deleted.collect()]
     assert got == ["a"]
+
+
+def test_incremental_read_fast_path(spark, table):
+    """Append-only snapshot range: the file diff IS the added rows (no old
+    data touched — the downstream-consumer primitive)."""
+    s1, _ = table.merge_insert(spark, spark.createDataFrame([("a", 1)], SCHEMA))
+    table.merge_insert(spark, spark.createDataFrame([("b", 2)], SCHEMA))
+    s3, _ = table.merge_insert(spark, spark.createDataFrame([("c", 3)], SCHEMA))
+    inc = table.incremental_read(spark, s1.snapshot_id)
+    assert {(r["k"], r["v"]) for r in inc.collect()} == {("b", 2), ("c", 3)}
+    # bounded range
+    inc13 = table.incremental_read(spark, s1.snapshot_id, s3.snapshot_id)
+    assert {r["k"] for r in inc13.collect()} == {"b", "c"}
+    # same-snapshot range → empty
+    assert table.incremental_read(spark, s3.snapshot_id, s3.snapshot_id).count() == 0
+
+
+def test_incremental_read_falls_back_across_rewrite(spark, table):
+    """An overwrite in the range invalidates the file diff: the key-level
+    anti-join still answers exactly."""
+    s1, _ = table.merge_insert(spark, spark.createDataFrame([("a", 1)], SCHEMA))
+    table.overwrite(spark.createDataFrame([("a", 1), ("b", 2)], SCHEMA))
+    inc = table.incremental_read(spark, s1.snapshot_id)
+    assert {(r["k"], r["v"]) for r in inc.collect()} == {("b", 2)}
+
+
+def test_incremental_read_keyless_rewrite_raises(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "log"), SCHEMA, [])
+    s1 = t.append(spark.createDataFrame([("a", 1)], SCHEMA))
+    t.overwrite(spark.createDataFrame([("b", 2)], SCHEMA))
+    with pytest.raises(ValueError, match="rewrite"):
+        t.incremental_read(spark, s1.snapshot_id)
+
+
+def test_incremental_read_expired_from_raises(spark, table):
+    s1, _ = table.merge_insert(spark, spark.createDataFrame([("a", 1)], SCHEMA))
+    for i in range(6):
+        table.merge_insert(
+            spark, spark.createDataFrame([(f"k{i}", i)], SCHEMA)
+        )
+    table.expire_snapshots(keep=2)
+    with pytest.raises(ValueError, match="expired"):
+        table.incremental_read(spark, s1.snapshot_id)
+
+
+def test_compact_preserves_rows_and_bucket_purity(spark, tmp_path):
+    bt = SnapshotTable(
+        str(tmp_path / "bt"),
+        T.StructType(
+            [
+                T.StructField("k", T.StringType(), False),
+                T.StructField("v", T.LongType(), False),
+                T.StructField("hb", T.IntegerType(), False),
+            ]
+        ),
+        ["k"],
+        bucket_by=("hb", 4),
+    )
+    for i in range(8):
+        bt.merge_insert(
+            spark,
+            spark.createDataFrame([(f"k{i}", i, i % 4)], bt.schema),
+        )
+    before = {(r["k"], r["v"], r["hb"]) for r in bt.read(spark).collect()}
+    pre = bt.current_snapshot()
+    assert len(pre.data_files) == 8
+    snap = bt.compact(spark)
+    assert snap.summary["op"] == "compact"
+    assert len(snap.data_files) <= 4  # one per touched bucket
+    after = {(r["k"], r["v"], r["hb"]) for r in bt.read(spark).collect()}
+    assert after == before
+    # bucket purity survives: every compacted file is .b<k>-suffixed
+    assert all(".b" in f for f in snap.data_files)
+    # incremental across the compact falls back to the key diff (exact)
+    s_more, _ = bt.merge_insert(
+        spark, spark.createDataFrame([("z", 99, 1)], bt.schema)
+    )
+    inc = bt.incremental_read(spark, pre.snapshot_id)
+    assert {r["k"] for r in inc.collect()} == {"z"}
+    # matched-files-only merge still holds post-compact
+    s_upd = bt.merge_update(
+        spark, spark.createDataFrame([("k0", 100, 0)], bt.schema)
+    )
+    assert s_upd.summary["touched_buckets"] == 1
+
+
+def test_compact_noop_on_single_file(spark, table):
+    table.merge_insert(spark, spark.createDataFrame([("a", 1)], SCHEMA))
+    cur = table.current_snapshot()
+    assert table.compact(spark).snapshot_id == cur.snapshot_id
