@@ -118,20 +118,20 @@ def allocate_budget(
     Shapes: two 1-row cross joins carry the scalars in-plan (no driver
     collect); the global remainder rank uses :func:`skew.ranked_by_host`'s
     two-pass form over a constant partition key, so even a 10^8-host dim
-    never sorts in one task. Zero/negative-weight hosts get base 0 and
-    compete only via remainders (all equal 0 ⇒ hostname order).
+    never sorts in one task. Negative weights clamp to 0 (a negative base
+    would break Σ == total); an ALL-zero dim switches to uniform Hamilton
+    (weight 1 per host) — the leftover ≤ n−1 bound that makes the +1 pass
+    sufficient only holds when W is the true Σw, and a forced W=1 under
+    Σw=0 let ``total > n`` leak budget (caught by the hypothesis quota
+    test: weights=[0], total=2 summed to 1).
     """
     w = weights.select(
         F.col(host_col).alias("hostname"),
-        # negative weights clamp to 0: they'd break the Σbudget == total
-        # invariant (negative bases)
         F.greatest(F.col(weight_col).cast("long"), F.lit(0)).alias("__w"),
     )
-    # greatest(·,1): an all-zero-weight dim degrades to base 0 for everyone
-    # (leftover distributes by hostname order) instead of an ANSI
-    # divide-by-zero
     tot = w.agg(
-        F.greatest(F.coalesce(F.sum("__w"), F.lit(0)), F.lit(1)).alias("__W")
+        F.coalesce(F.sum("__w"), F.lit(0)).alias("__Wraw"),
+        F.count(F.lit(1)).alias("__n"),
     )
     # alias both sides: tot derives from w, and Spark 4's analyzer flags
     # the re-used __w attribute in the self-lineage cross join as ambiguous
@@ -139,12 +139,19 @@ def allocate_budget(
         w.alias("__wl").crossJoin(F.broadcast(tot.alias("__tr")))
         .select(
             F.col("__wl.hostname").alias("hostname"),
-            F.expr(f"CAST({total} AS BIGINT) * __wl.__w div __tr.__W").alias(
-                "__base"
-            ),
-            F.expr(f"(CAST({total} AS BIGINT) * __wl.__w) % __tr.__W").alias(
-                "__rem"
-            ),
+            F.expr(
+                "CASE WHEN __tr.__Wraw = 0 THEN CAST(1 AS BIGINT)"
+                " ELSE __wl.__w END"
+            ).alias("__we"),
+            F.expr(
+                "CASE WHEN __tr.__Wraw = 0 THEN __tr.__n"
+                " ELSE __tr.__Wraw END"
+            ).alias("__W"),
+        )
+        .select(
+            "hostname",
+            F.expr(f"CAST({total} AS BIGINT) * __we div __W").alias("__base"),
+            F.expr(f"(CAST({total} AS BIGINT) * __we) % __W").alias("__rem"),
         )
     )
     leftover = based.agg(

@@ -2599,11 +2599,18 @@ def _sql_crawl_budget() -> str:
     return f"""
 WITH {body},
 w AS (SELECT host, greatest(rank_u, 0) AS wv FROM {final}),
-tot AS (SELECT greatest(coalesce(SUM(wv), 0), 1) AS W FROM w),
-based AS (
-  SELECT host, (100000 * wv) // (SELECT W FROM tot) AS base,
-         (100000 * wv) % (SELECT W FROM tot) AS rem
+tot AS (SELECT coalesce(SUM(wv), 0) AS Wraw, COUNT(*) AS n FROM w),
+eff AS (
+  SELECT host,
+         CASE WHEN (SELECT Wraw FROM tot) = 0 THEN 1 ELSE wv END AS we,
+         CASE WHEN (SELECT Wraw FROM tot) = 0 THEN (SELECT n FROM tot)
+              ELSE (SELECT Wraw FROM tot) END AS W
   FROM w
+),
+based AS (
+  SELECT host, (100000 * we) // W AS base,
+         (100000 * we) % W AS rem
+  FROM eff
 ),
 lo AS (SELECT 100000 - coalesce(SUM(base), 0) AS L FROM based),
 ranked AS (
