@@ -495,3 +495,26 @@ def streaming_hll_registers(
     return sketch.hll_registers(
         docs_stream, key_col, group_cols, b=b, portable=portable
     )
+
+
+def streaming_cms(
+    docs_stream: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 8192,
+    weight_col: str | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Continuous count-min sketch over an unbounded stream — the batch
+    :func:`sketch.cms_build` plan (explode + groupBy sum) is streaming-
+    legal in complete/update mode; state is the d×w cell table FOREVER,
+    independent of stream length or key cardinality (an exact streaming
+    frequency table grows with every new key). Read the sink's cell table
+    with :func:`sketch.cms_lookup`/``cms_heavy_hitters`` batch-side —
+    sums merge, so restart/replay from a checkpoint is the same fold.
+    Batch parity asserted in tests/test_streaming.py."""
+    from starchart_spark.operators import sketch
+
+    return sketch.cms_build(
+        docs_stream, key_col, d=d, w=w, weight_col=weight_col, portable=portable
+    )

@@ -362,3 +362,36 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """Streaming CMS cells (complete-mode sum aggregate) == batch cells on
+    the same rows across micro-batches."""
+    import pyspark.sql.functions as F
+    from starchart_spark.operators import sketch
+
+    df = spark.range(600).select((F.col("id") % 37).alias("key"))
+    drop_dir = str(tmp_path / "cms_keys")
+    df.repartition(4, "key").write.parquet(drop_dir)
+
+    src = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    q = (
+        stream.streaming_cms(src, "key", d=3, w=128, portable=True)
+        .writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT row, cell, cnt FROM cms_cells").collect())
+    )
+    want = sorted(
+        map(tuple, sketch.cms_build(df, "key", d=3, w=128, portable=True).collect())
+    )
+    assert got == want
