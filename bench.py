@@ -106,6 +106,10 @@ HEADLINE_QUERIES = [
     "hll_distinct",
     "cms_hot_hosts",
     "hrw_shards",
+    # round-5 session-9: theta/bottom-k sketch — the set-algebra ledger
+    # (distinct + intersection estimates from fixed-size register tables)
+    "theta_distinct",
+    "theta_intersect",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

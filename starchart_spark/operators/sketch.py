@@ -420,3 +420,200 @@ def histogram_quantile(
             - F.lit(1)
         ).alias(out_col)
     )
+
+
+# --------------------------------------------------------------------------
+# Theta / bottom-k distinct sketch — the set-ALGEBRA sketch
+#
+# HLL answers |A| but cannot answer |A ∩ B|: its registers carry no key
+# sample. The theta sketch (Dasgupta/Lang/Rhodes/Thaler, "Data Sketching
+# with Theta", systems form of the KMV/bottom-k estimator) keeps the k
+# smallest hash values — a uniform SAMPLE of the key space below a
+# threshold theta — so union, intersection and difference of URL-seen
+# ledgers (URLs seen by BOTH forge shards, URLs new to this epoch vs the
+# last, overlap between two hosts' outlink sets) all reduce to set ops on
+# tiny samples. The reference's single-node SQLite seen-set answers these
+# with exact joins; at 10^10 URLs per ledger the sketch answers them from
+# ~KiB of state.
+#
+# Scale/determinism shape (same discipline as the HLL section): the
+# distributed stage is a BUCKETED min — groupBy(group, h mod B) min(h) —
+# whose map-side combine bounds the exchange to ≤ B longs per group per
+# task regardless of input size, and which MERGES exactly (min of mins).
+# The k-smallest selection runs at estimate time over ≤ B register rows
+# per group, never over raw keys. This "min per bucket first" form is the
+# one-permutation-hashing variant of bottom-k: a handful of the true k
+# smallest values can be masked by a smaller same-bucket value (expected
+# masked ≈ k²/2B; ~0.8% at the k=256/B=16384 defaults — inside the
+# estimator's own 1/√k ≈ 6% noise, asserted empirically in
+# tests/test_sketch.py). Every shuffled quantity is an integer; the one
+# float division per group happens after aggregation.
+
+
+THETA_K = 256
+THETA_BUCKETS = 16384
+
+
+def theta_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    buckets: int = THETA_BUCKETS,
+    portable: bool = False,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-group register table (group_cols..., bucket, minh): the minimum
+    31-bit key hash per hash-bucket. Fixed size (≤ ``buckets`` rows per
+    group), map-side combinable (min), and exactly mergeable — the
+    registers of A ∪ B are elementwise min(regs(A), regs(B)), asserted
+    bit-equal in tests. All set operations below consume this table."""
+    h = _hash31(key_col, salt, portable)
+    keyed = df.select(
+        *group_cols,
+        F.pmod(h, F.lit(buckets)).alias("bucket"),
+        h.alias("minh"),
+    )
+    return keyed.groupBy(*group_cols, "bucket").agg(F.min("minh").alias("minh"))
+
+
+def theta_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Union of two sketches = min per (group, bucket) — the register
+    table of the UNION stream, exactly (min is associative/commutative/
+    idempotent, so merge order and partitioning are irrelevant)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.min("minh").alias("minh"))
+    )
+
+
+def _theta_sample(
+    regs: DataFrame, group_cols: Sequence[str], k: int
+) -> DataFrame:
+    """k smallest DISTINCT register values per group, ranked. Distinct
+    because KMV's order statistics are over the set of hash VALUES (two
+    buckets can hold equal minh only via a 31-bit collision of distinct
+    keys; deduping is the replayable choice). The window partition is a
+    group's register table (≤ buckets rows), never raw keys."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("minh") if group_cols else Window.orderBy("minh")
+    vals = regs.select(*group_cols, "minh").distinct()
+    return vals.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def _theta_stats(
+    regs: DataFrame, group_cols: Sequence[str], k: int, prefix: str = ""
+) -> DataFrame:
+    """(group..., {prefix}n_kept, {prefix}theta): theta = k-th smallest
+    register value, or P31 (exhaustive: every distinct hash is in the
+    sample) when fewer than k registers exist."""
+    s = _theta_sample(regs, group_cols, k)
+    return s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias(f"{prefix}n_kept"),
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k, F.col("minh"))), F.lit(P31)
+        ).alias(f"{prefix}theta"),
+    )
+
+
+def theta_estimate(
+    regs: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = THETA_K,
+) -> DataFrame:
+    """Per-group distinct estimate from a register table:
+    (group_cols..., n_kept, theta, est).
+
+    Full sketch (theta < P31): est = (k−1)·P31 / theta — the unbiased KMV
+    estimator (k-th order statistic of n uniforms on [0,P31) sits at
+    ≈ k·P31/n). Exhaustive sketch (theta = P31): est = n_kept exactly.
+    n_kept and theta are exact integers; est is the single float division.
+    """
+    st = _theta_stats(regs, group_cols, k)
+    exhaustive = F.col("theta") == F.lit(P31)
+    est = F.when(exhaustive, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(P31)) / F.col("theta").cast("double")
+    )
+    return st.select(*group_cols, "n_kept", "theta", est.alias("est"))
+
+
+def _join_groups(a: DataFrame, b: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    if group_cols:
+        return a.join(b, list(group_cols))
+    return a.crossJoin(F.broadcast(b))
+
+
+def theta_intersect(
+    regs_a: DataFrame,
+    regs_b: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = THETA_K,
+) -> DataFrame:
+    """Intersection estimate |A ∩ B| per group from two register tables
+    built with the SAME (buckets, salt, portable):
+    (group_cols..., matches, theta, est_inter).
+
+    Standard theta-sketch intersection: common theta = min(theta_A,
+    theta_B); matches = |{h ∈ sample_A ∩ sample_B : h < theta}| (strict —
+    a full sketch's k-th value is its threshold, not a sample member);
+    est = matches · P31 / theta. When BOTH sketches are exhaustive
+    (theta = P31) every common hash is retained and est = matches exactly
+    — the small-scale regime the driver oracle pins, while the pytest
+    accuracy test covers the sampled regime.
+    """
+    sa = _theta_sample(regs_a, group_cols, k).withColumnRenamed("rn", "__rn_a")
+    sb = _theta_sample(regs_b, group_cols, k).select(*group_cols, "minh")
+    ta = _theta_stats(regs_a, group_cols, k, prefix="a_")
+    tb = _theta_stats(regs_b, group_cols, k, prefix="b_")
+    th = _join_groups(ta, tb, group_cols).select(
+        *group_cols,
+        F.least(F.col("a_theta"), F.col("b_theta")).alias("theta"),
+    )
+    common = sa.join(sb, [*group_cols, "minh"]).select(*group_cols, "minh")
+    kept = _join_groups(common, th, group_cols).filter(
+        (F.col("minh") < F.col("theta")) | (F.col("theta") == F.lit(P31))
+    )
+    # groups where the samples share nothing still need a 0-row: left join
+    # back onto the theta dim (grouped), or a global agg — which always
+    # yields exactly one row, even over empty input — cross-joined
+    # (ungrouped). No driver action either way.
+    if group_cols:
+        counted = kept.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("matches")
+        )
+        out = th.join(counted, list(group_cols), "left")
+    else:
+        counted = kept.agg(F.count(F.lit(1)).alias("matches"))
+        out = th.crossJoin(F.broadcast(counted))
+    matches = F.coalesce(F.col("matches"), F.lit(0)).cast("long")
+    est = F.when(F.col("theta") == F.lit(P31), matches.cast("double")).otherwise(
+        matches.cast("double") * F.lit(float(P31)) / F.col("theta").cast("double")
+    )
+    return out.select(
+        *group_cols, matches.alias("matches"), "theta", est.alias("est_inter")
+    )
+
+
+def theta_difference(
+    regs_a: DataFrame,
+    regs_b: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = THETA_K,
+) -> DataFrame:
+    """|A \\ B| estimate per group: est(A) − est(A ∩ B), floored at 0 —
+    the epoch-delta question ("URLs seen this crawl cycle but not last")
+    answered from two KiB-scale ledgers instead of a full anti-join."""
+    ea = theta_estimate(regs_a, group_cols, k).select(
+        *group_cols, F.col("est").alias("__est_a")
+    )
+    ei = theta_intersect(regs_a, regs_b, group_cols, k).select(
+        *group_cols, F.col("est_inter").alias("__est_i")
+    )
+    joined = _join_groups(ea, ei, group_cols)
+    return joined.select(
+        *group_cols,
+        F.greatest(
+            F.col("__est_a") - F.col("__est_i"), F.lit(0.0)
+        ).alias("est_diff"),
+    )

@@ -2890,6 +2890,125 @@ SELECT host_key, CAST(7 - (e % 8) AS INTEGER) AS shard FROM enc
 """
 
 
+def q_theta_distinct(spark, sf_dir):
+    """Per-host theta/bottom-k distinct-URL estimate
+    (sketch.theta_registers/theta_estimate): the set-ALGEBRA companion to
+    hll_distinct — same 7-host keying so the two sketches are directly
+    comparable. Emits the exact integer core (n_kept sample size, theta
+    threshold) plus the KMV estimate (k−1)·P31/theta — ONE float division
+    per group, so the oracle replays the identical integer program."""
+    from starchart_spark.operators import sketch
+
+    hosts = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 7).cast("string")).alias(
+            "hostname"
+        ),
+        F.col("o_orderkey").alias("key"),
+    )
+    regs = sketch.theta_registers(hosts, "key", ["hostname"], portable=True)
+    return sketch.theta_estimate(regs, ["hostname"])
+
+
+_THETA_HASH = (
+    "(((({x} % 2147483647) * ({x} % 2147483647)) % 2147483647)"
+    " * 1327217885 + ({x} % 2147483647)) % 2147483647"
+)
+
+SQL_THETA_DISTINCT = f"""
+WITH keyed AS (
+  SELECT 'h' || (o_custkey % 7) AS hostname,
+         {_THETA_HASH.format(x="o_orderkey")} AS h
+  FROM orders
+),
+regs AS (
+  SELECT hostname, h % 16384 AS bucket, MIN(h) AS minh
+  FROM keyed GROUP BY 1, 2
+),
+vals AS (SELECT DISTINCT hostname, minh FROM regs),
+rk AS (
+  SELECT hostname, minh,
+         row_number() OVER (PARTITION BY hostname ORDER BY minh) AS rn
+  FROM vals
+),
+s AS (
+  SELECT hostname, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         MAX(CASE WHEN rn = 256 THEN minh END) AS kth
+  FROM rk WHERE rn <= 256 GROUP BY hostname
+)
+SELECT hostname, n_kept,
+       CAST(COALESCE(kth, 2147483647) AS BIGINT) AS theta,
+       CASE WHEN kth IS NULL THEN CAST(n_kept AS DOUBLE)
+            ELSE 255.0 * 2147483647.0 / CAST(kth AS DOUBLE) END AS est
+FROM s
+"""
+
+
+def q_theta_intersect(spark, sf_dir):
+    """Theta-sketch set intersection (sketch.theta_intersect) — the
+    question HLL cannot answer: |A ∩ B| of two URL-seen ledgers from
+    ~KiB of state each. A = even order keys, B = keys ≡ 0 (mod 3), true
+    overlap = keys ≡ 0 (mod 6) ≈ n/6; both sketches run in the SAMPLED
+    regime at sf0.01 (theta < P31), so the gate pins the estimator path,
+    not just the exhaustive shortcut."""
+    from starchart_spark.operators import sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("key")
+    )
+    b = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key")
+    )
+    ra = sketch.theta_registers(a, "key", portable=True)
+    rb = sketch.theta_registers(b, "key", portable=True)
+    return sketch.theta_intersect(ra, rb)
+
+
+SQL_THETA_INTERSECT = f"""
+WITH a AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 2 = 0),
+b AS (SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 3 = 0),
+ra AS (
+  SELECT h % 16384 AS bucket, MIN(h) AS minh FROM (
+    SELECT {_THETA_HASH.format(x="key")} AS h FROM a
+  ) GROUP BY 1
+),
+rb AS (
+  SELECT h % 16384 AS bucket, MIN(h) AS minh FROM (
+    SELECT {_THETA_HASH.format(x="key")} AS h FROM b
+  ) GROUP BY 1
+),
+rka AS (
+  SELECT minh, row_number() OVER (ORDER BY minh) AS rn
+  FROM (SELECT DISTINCT minh FROM ra)
+),
+rkb AS (
+  SELECT minh, row_number() OVER (ORDER BY minh) AS rn
+  FROM (SELECT DISTINCT minh FROM rb)
+),
+sa AS (SELECT MAX(CASE WHEN rn = 256 THEN minh END) AS kth FROM rka WHERE rn <= 256),
+sb AS (SELECT MAX(CASE WHEN rn = 256 THEN minh END) AS kth FROM rkb WHERE rn <= 256),
+th AS (
+  SELECT CAST(LEAST(COALESCE(sa.kth, 2147483647),
+                    COALESCE(sb.kth, 2147483647)) AS BIGINT) AS theta
+  FROM sa, sb
+),
+common AS (
+  SELECT x.minh FROM (SELECT minh FROM rka WHERE rn <= 256) x
+  JOIN (SELECT minh FROM rkb WHERE rn <= 256) y USING (minh)
+),
+cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS matches
+  FROM common c, th t
+  WHERE c.minh < t.theta OR t.theta = 2147483647
+)
+SELECT c.matches, t.theta,
+       CASE WHEN t.theta = 2147483647 THEN CAST(c.matches AS DOUBLE)
+            ELSE CAST(c.matches AS DOUBLE) * 2147483647.0
+                 / CAST(t.theta AS DOUBLE) END AS est_inter
+FROM cnt c, th t
+"""
+
+
 def q_shuffle_positions(spark, sf_dir):
     """Deterministic global corpus shuffle (pretraining data-order
     randomization): position = global rank by (LCG(doc_id, salt=epoch),
@@ -3100,6 +3219,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "cms_hot_hosts": (q_cms_hot_hosts, SQL_CMS_HOT_HOSTS),
     "hrw_shards": (q_hrw_shards, SQL_HRW_SHARDS),
+    "theta_distinct": (q_theta_distinct, SQL_THETA_DISTINCT),
+    "theta_intersect": (q_theta_intersect, SQL_THETA_INTERSECT),
     "shuffle_positions": (q_shuffle_positions, SQL_SHUFFLE_POSITIONS),
     "latency_quantiles": (q_latency_quantiles, SQL_LATENCY_QUANTILES),
     "retry_backoff": (q_retry_backoff, SQL_RETRY_BACKOFF),

@@ -221,3 +221,84 @@ def test_histogram_quantile_hand_case(spark):
     assert sketch.histogram_quantile(hist, 500).collect()[0]["q_upper"] == 3
     # p100 → max bucket (100 → hbucket 7) → upper 127 ≥ max
     assert sketch.histogram_quantile(hist, 1000).collect()[0]["q_upper"] == 127
+
+
+# --------------------------------------------------------------------------
+# Theta / bottom-k sketch: accuracy, exact mergeability, set algebra
+
+
+@pytest.mark.parametrize("portable", [True, False])
+def test_theta_accuracy(spark, portable):
+    n = 50_000
+    df = _ids(spark, n)
+    regs = sketch.theta_registers(df, "key", portable=portable)
+    row = sketch.theta_estimate(regs).collect()[0]
+    # k=256 → σ ≈ 1/√k ≈ 6.3%; deterministic, so a 12% band is generous
+    assert abs(row["est"] - n) / n < 0.12, row["est"]
+    assert row["theta"] < sketch.P31  # sampled regime
+
+
+def test_theta_exhaustive_exact(spark):
+    """Below k distinct keys the sketch IS the distinct set (modulo rare
+    bucket collisions at n ≪ B) — theta pegs at P31 and est is integral."""
+    n = 100
+    regs = sketch.theta_registers(_ids(spark, n), "key", portable=True)
+    row = sketch.theta_estimate(regs).collect()[0]
+    assert row["theta"] == sketch.P31
+    assert abs(row["est"] - n) <= 2
+    assert row["est"] == row["n_kept"]
+
+
+def test_theta_merge_is_exact(spark):
+    """registers(A ∪ B) == merge(registers(A), registers(B)) bit-for-bit —
+    the property that lets per-epoch ledgers fold without touching keys."""
+    a, b = _ids(spark, 8_000), _ids(spark, 8_000, start=4_000)
+    ra = sketch.theta_registers(a, "key", portable=True)
+    rb = sketch.theta_registers(b, "key", portable=True)
+    direct = sketch.theta_registers(a.union(b), "key", portable=True)
+    merged = sketch.theta_merge(ra, rb)
+    key = lambda r: (r["bucket"], r["minh"])
+    assert sorted(map(key, direct.collect())) == sorted(map(key, merged.collect()))
+    # and the union estimate reads the true |A ∪ B|
+    est = sketch.theta_estimate(merged).collect()[0]["est"]
+    assert abs(est - 12_000) / 12_000 < 0.12, est
+
+
+def test_theta_intersect_accuracy(spark):
+    a = _ids(spark, 30_000)
+    b = _ids(spark, 30_000, start=15_000)
+    ra = sketch.theta_registers(a, "key", portable=True)
+    rb = sketch.theta_registers(b, "key", portable=True)
+    row = sketch.theta_intersect(ra, rb).collect()[0]
+    # true |A ∩ B| = 15000; intersection noise ≈ 1/√matches — wider band
+    assert abs(row["est_inter"] - 15_000) / 15_000 < 0.2, row["est_inter"]
+    diff = sketch.theta_difference(ra, rb).collect()[0]["est_diff"]
+    assert abs(diff - 15_000) / 15_000 < 0.25, diff
+
+
+def test_theta_intersect_exhaustive_exact(spark):
+    """Both sketches exhaustive → every common hash retained → est_inter
+    is the exact overlap (bucket-mask probability ~n²/2B ≈ 0.08 at n=50)."""
+    a = _ids(spark, 50)
+    b = _ids(spark, 50, start=25)
+    ra = sketch.theta_registers(a, "key", portable=True)
+    rb = sketch.theta_registers(b, "key", portable=True)
+    row = sketch.theta_intersect(ra, rb).collect()[0]
+    assert row["theta"] == sketch.P31
+    assert row["matches"] == 25
+    assert row["est_inter"] == 25.0
+
+
+def test_theta_disjoint_and_grouped(spark):
+    """Grouped path: per-group estimates are independent; disjoint groups'
+    intersection reads 0 matches (the left-join zero-fill path)."""
+    df = _ids(spark, 4_000).withColumn("g", (F.col("key") % 2).cast("int"))
+    regs = sketch.theta_registers(df, "key", ["g"], portable=True)
+    ests = {r["g"]: r["est"] for r in sketch.theta_estimate(regs, ["g"]).collect()}
+    for g in (0, 1):
+        assert abs(ests[g] - 2_000) / 2_000 < 0.15, ests
+    # even/odd key sets are disjoint: intersect the two groups' sketches
+    ra = regs.filter("g = 0").drop("g")
+    rb = regs.filter("g = 1").drop("g")
+    row = sketch.theta_intersect(ra, rb).collect()[0]
+    assert row["matches"] == 0 and row["est_inter"] == 0.0
