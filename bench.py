@@ -110,6 +110,9 @@ HEADLINE_QUERIES = [
     # (distinct + intersection estimates from fixed-size register tables)
     "theta_distinct",
     "theta_intersect",
+    # round-5 session-10: HITS hubs/authorities — the second iterative
+    # priority signal (two rank⋈edges exchanges per round vs PageRank's one)
+    "host_hits",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

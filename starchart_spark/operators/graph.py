@@ -164,3 +164,128 @@ def pagerank_sql(
     """
     body, final = pagerank_cte(edges_cte, iters, scale, damp_num, damp_den)
     return f"WITH {body}\nSELECT host, rank_u FROM {final}"
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities — the second classic crawl-priority signal
+
+
+HITS_SCALE = 1_000_000
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """(host, hub_u, auth_u) after ``iters`` exact-integer HITS rounds
+    (Kleinberg, JACM 1999). PageRank scores where traffic LANDS; HITS
+    separates directories/link-farms (hubs) from content hosts
+    (authorities) — a crawler schedules hub hosts to DISCOVER and
+    authority hosts to FETCH, so the pair is worth more than either alone.
+
+    Same determinism discipline as :func:`pagerank`: every score is a
+    BIGINT and every round normalizes by the exact integer MAX (order-
+    independent, unlike an L2 norm whose float sum is partition-ordered):
+
+        auth_raw(v) = Σ over edges u→v of hub(u)     -- exact long sum
+        auth(v)     = auth_raw(v)·scale div max(auth_raw)
+        hub_raw(u)  = Σ over edges u→v of auth(v)
+        hub(u)      = hub_raw(u)·scale div max(hub_raw)
+
+    Max-normalization keeps the fixed point's DIRECTION (any norm does);
+    scores land in [0, scale] with the top hub/authority pegged at
+    ``scale``. Overflow bound: raw·scale < 2^63 needs max in-degree <
+    2^63/scale² ≈ 9.2M hosts at the default — lower ``scale`` for denser
+    host graphs. Empty-side rounds normalize by GREATEST(max, 1).
+
+    Plan per round: two rank⋈edges shuffles (one per direction), each max
+    a 1-row broadcast cross join (no driver collect), ``localCheckpoint``
+    per half-round to truncate lineage. ``edges`` must be distinct pairs.
+    """
+    if iters < 1:
+        raise ValueError("hits needs iters >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub_u", F.lit(scale).cast("long"))
+    auth = None
+
+    def _half(scores: DataFrame, score_col: str, edge_in: str, edge_out: str, out_col: str) -> DataFrame:
+        raw = (
+            scores.join(e, scores["host"] == e[edge_in])
+            .groupBy(F.col(edge_out).alias("host"))
+            .agg(F.sum(score_col).alias("raw"))
+        )
+        filled = nodes.join(raw, "host", "left").select(
+            "host", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        )
+        mx = filled.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+        return (
+            filled.crossJoin(F.broadcast(mx))
+            .select(
+                "host",
+                F.expr(f"(raw * {scale}) div mx").cast("long").alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(iters):
+        auth = _half(hub, "hub_u", "src", "dst", "auth_u")
+        hub = _half(auth, "auth_u", "dst", "src", "hub_u")
+    return hub.join(auth, "host")
+
+
+def hits_sql(edges_cte: str, iters: int = 4, scale: int = HITS_SCALE) -> str:
+    """DuckDB oracle for :func:`hits`, iterations unrolled — kept beside
+    the operator (like :func:`pagerank_sql`) so the integer recurrence
+    cannot drift between engines. ``//`` is floor division; all raws are
+    non-negative so it matches Spark's ``div`` exactly.
+
+    Plan-shape constraint: the per-round max rides an UNPARTITIONED window
+    (``MAX(raw) OVER ()``), never a scalar subquery, so every round CTE is
+    referenced exactly ONCE by its successor. DuckDB inlines CTEs, and a
+    scalar ``(SELECT MAX(raw) FROM ar_i)`` would be a second reference —
+    the inlined tree then grows 4^iters (two doublings per round) and the
+    oracle takes minutes on a 1k-edge graph where the window form is
+    instant. The one tolerated doubling is the final hub⋈authority join
+    re-referencing ``a{iters}``."""
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges)",
+        f"h0 AS (SELECT host, CAST({scale} AS BIGINT) AS hub_u FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""a{i} AS (
+  SELECT host, (raw * {scale}) // GREATEST(MAX(raw) OVER (), 1) AS auth_u
+  FROM (
+    SELECT n.host, COALESCE(s.raw, 0) AS raw FROM nodes n LEFT JOIN (
+      SELECT e.dst AS host, SUM(h.hub_u) AS raw
+      FROM h{i - 1} h JOIN edges e ON h.host = e.src GROUP BY e.dst
+    ) s USING (host)
+  )
+)"""
+        )
+        parts.append(
+            f"""h{i} AS (
+  SELECT host, (raw * {scale}) // GREATEST(MAX(raw) OVER (), 1) AS hub_u
+  FROM (
+    SELECT n.host, COALESCE(s.raw, 0) AS raw FROM nodes n LEFT JOIN (
+      SELECT e.src AS host, SUM(a.auth_u) AS raw
+      FROM a{i} a JOIN edges e ON a.host = e.dst GROUP BY e.src
+    ) s USING (host)
+  )
+)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\nSELECT h.host, h.hub_u, a.auth_u"
+        f" FROM h{iters} h JOIN a{iters} a USING (host)"
+    )

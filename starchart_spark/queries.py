@@ -2295,6 +2295,36 @@ def _sql_host_pagerank() -> str:
 SQL_HOST_PAGERANK = _sql_host_pagerank()
 
 
+def q_host_hits(spark, sf_dir):
+    """Host-graph HITS hubs/authorities (operators/graph.py): 4 exact-
+    integer rounds over the SAME orders-derived link graph as
+    host_pagerank, so the two priority signals are directly comparable.
+    Hubs score hosts that DISCOVER (directory/link pages), authorities
+    hosts worth FETCHING — the scheduler wants the pair, not either
+    alone. Integer max-normalized scores, oracle-unrolled like
+    pagerank_sql so the recurrence cannot drift between engines."""
+    from starchart_spark.operators import graph
+
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 41).cast("string")).alias("dst"),
+    ).distinct()
+    return graph.hits(edges, iters=4)
+
+
+def _sql_host_hits() -> str:
+    from starchart_spark.operators import graph
+
+    return graph.hits_sql(
+        "SELECT DISTINCT 'h' || (o_custkey % 37) AS src,"
+        " 'h' || (o_orderkey % 41) AS dst FROM orders",
+        iters=4,
+    )
+
+
+SQL_HOST_HITS = _sql_host_hits()
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """MOSS winnowing fingerprints (operators/winnow.py, portable-hash
     parity mode): k=4 token grams, window w=5, rightmost-min selection via
@@ -3209,6 +3239,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+    "host_hits": (q_host_hits, SQL_HOST_HITS),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),

@@ -86,3 +86,68 @@ def test_rank_feeds_priority_queue(spark):
     )
     for row in per_host:
         assert row["mx"] == row["n"]
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities
+
+
+def _hits(df):
+    return {r["host"]: (r["hub_u"], r["auth_u"]) for r in df.collect()}
+
+
+def test_hits_pure_hub_and_authorities(spark):
+    # a links to b, c, d and receives nothing: a is the pure hub, the
+    # leaves are pure (and symmetric) authorities — exact fixed point
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], ["src", "dst"]
+    )
+    h = _hits(graph.hits(edges, iters=3))
+    S = graph.HITS_SCALE
+    assert h["a"] == (S, 0)
+    assert h["b"] == h["c"] == h["d"] == (0, S)
+
+
+def test_hits_in_degree_dominance(spark):
+    # m has three hub in-links, n has one (from the same hubs): m's
+    # authority must dominate; the shared hubs out-score the single-link one
+    edges = spark.createDataFrame(
+        [("h1", "m"), ("h2", "m"), ("h3", "m"), ("h1", "n")], ["src", "dst"]
+    )
+    h = _hits(graph.hits(edges, iters=4))
+    assert h["m"][1] == graph.HITS_SCALE  # top authority pegs at scale
+    assert h["m"][1] > h["n"][1] > 0
+    assert h["h1"][0] > h["h2"][0]  # h1 points at BOTH authorities
+    assert h["h2"][0] == h["h3"][0]  # symmetric hubs tie exactly
+
+
+def test_hits_partition_invariance_exact(spark):
+    edges = spark.range(300).select(
+        F.concat(F.lit("h"), (F.col("id") % 17).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("id") * 7) % 23).cast("string")).alias("dst"),
+    ).distinct()
+    a = _hits(graph.hits(edges, iters=3))
+    b = _hits(graph.hits(edges.repartition(13), iters=3))
+    assert a == b
+
+
+def test_hits_sql_oracle_parity(spark):
+    """The unrolled DuckDB oracle reproduces the Spark iteration exactly —
+    the same guarantee pagerank_sql gives, checked here on a graph with
+    dangling hosts and asymmetric degrees."""
+    import duckdb
+
+    rows = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "b"), ("e", "a"),
+    ]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    got = _hits(graph.hits(edges, iters=4))
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in rows)
+    sql = graph.hits_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iters=4
+    )
+    want = {
+        r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()
+    }
+    assert got == want
