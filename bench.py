@@ -113,6 +113,9 @@ HEADLINE_QUERIES = [
     # round-5 session-10: HITS hubs/authorities — the second iterative
     # priority signal (two rank⋈edges exchanges per round vs PageRank's one)
     "host_hits",
+    # seed-personalized PageRank (spam demotion): same exchange budget as
+    # host_pagerank plus one broadcast seed-flag join at build
+    "trust_rank",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

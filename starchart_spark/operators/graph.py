@@ -289,3 +289,171 @@ def hits_sql(edges_cte: str, iters: int = 4, scale: int = HITS_SCALE) -> str:
         f"WITH {body}\nSELECT h.host, h.hub_u, a.auth_u"
         f" FROM h{iters} h JOIN a{iters} a USING (host)"
     )
+
+
+# --------------------------------------------------------------------------
+# TrustRank — seed-personalized PageRank for spam/link-farm demotion
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "host",
+    iters: int = 5,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+) -> DataFrame:
+    """(host, trust_u) after ``iters`` exact-integer TrustRank rounds
+    (Gyöngyi/Garcia-Molina/Pedersen, VLDB 2004): PageRank whose teleport
+    vector is uniform over a curated SEED set instead of all hosts, so
+    trust flows only along paths FROM seeds — a link farm with no inlink
+    from the trusted web scores exactly 0 (integer arithmetic makes that
+    a hard zero, not an epsilon), which is the demotion signal a frontier
+    scheduler subtracts from raw PageRank before allocating fetch budget.
+
+    Same recurrence as :func:`pagerank` with the uniform terms re-aimed:
+
+        trust'(v) = [v∈S]·DN·(scale div |S|) div DD
+                  + DM·(inc(v) + [v∈S]·(dang div |S|)) div DD
+
+    (teleport mass and dangling mass both return to the seeds). With
+    seeds = ALL hosts this is exactly :func:`pagerank` — asserted
+    bit-for-bit in tests, which pins the shared recurrence. ``seeds``
+    rows not present in the graph are ignored; an empty intersection
+    raises (an all-zero trust vector ranks nothing).
+
+    Plan shape per round is pagerank's: one ranks⋈edges shuffle + one
+    dst-keyed sum; the seed flag is a broadcast-size dim joined once at
+    build; dangling mass rides a 1-row cross join; ``localCheckpoint``
+    truncates lineage per round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    flagged = nodes.join(
+        seeds.select(F.col(seed_col).alias("host"))
+        .distinct()
+        .withColumn("is_seed", F.lit(True)),
+        "host",
+        "left",
+    ).localCheckpoint(eager=True)
+    outdeg = (
+        e.groupBy(F.col("src").alias("host"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n_seeds = flagged.filter(F.col("is_seed")).count()
+    if n_seeds == 0:
+        raise ValueError("trustrank needs at least one seed present in the graph")
+    base_seed = (damp_den - damp_num) * (scale // n_seeds) // damp_den
+
+    is_seed = F.coalesce(F.col("is_seed"), F.lit(False))
+    ranks = flagged.select(
+        "host",
+        "is_seed",
+        F.when(is_seed, F.lit(scale // n_seeds)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust_u"),
+    )
+    for _ in range(iters):
+        with_deg = ranks.join(outdeg, "host", "left")
+        inc = (
+            with_deg.filter(F.col("outdeg").isNotNull())
+            .join(e, with_deg["host"] == e["src"])
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.expr("trust_u div outdeg")).alias("inc"))
+        )
+        dang = with_deg.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("trust_u"), F.lit(0)).alias("dang_total")
+        )
+        ranks = (
+            flagged.join(inc, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                "is_seed",
+                (
+                    F.when(is_seed, F.lit(base_seed)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inc, 0)"
+                        f" + if(coalesce(is_seed, false),"
+                        f" dang_total div {n_seeds}, 0))) div {damp_den}"
+                    )
+                ).cast("long").alias("trust_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("host", "trust_u")
+
+
+def trustrank_cte(
+    edges_cte: str,
+    seeds_cte: str,
+    iters: int = 5,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+) -> tuple[str, str]:
+    """(with_body, final_relation) for the unrolled TrustRank oracle —
+    same composable form as :func:`pagerank_cte`. ``seeds_cte`` yields a
+    ``host`` column; only seeds present in the graph count, matching the
+    operator. Each round CTE references its predecessor a bounded number
+    of times (the pagerank_cte budget — wd twice per round), never through
+    scalar-subquery fan-out (the :func:`hits_sql` lesson)."""
+    damp_base = damp_den - damp_num
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges)",
+        f"seeds AS (SELECT DISTINCT host FROM ({seeds_cte}) WHERE host IN (SELECT host FROM nodes))",
+        "deg AS (SELECT src AS host, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "sn AS (SELECT COUNT(*) AS s FROM seeds)",
+        "flagged AS (SELECT n.host, s.host IS NOT NULL AS is_seed"
+        " FROM nodes n LEFT JOIN seeds s USING (host))",
+        f"t0 AS (SELECT host, is_seed, CASE WHEN is_seed THEN"
+        f" (SELECT {scale} // s FROM sn) ELSE 0 END AS trust_u FROM flagged)",
+    ]
+    for i in range(iters):
+        prev, cur = f"t{i}", f"t{i + 1}"
+        parts.append(
+            f"""{cur} AS (
+  WITH wd AS (SELECT p.host, p.trust_u, d.outdeg
+              FROM {prev} p LEFT JOIN deg d USING (host)),
+  inc AS (SELECT e.dst AS host, SUM(w.trust_u // w.outdeg) AS inc
+          FROM wd w JOIN edges e ON w.host = e.src
+          WHERE w.outdeg IS NOT NULL GROUP BY e.dst),
+  dang AS (SELECT COALESCE(SUM(trust_u), 0) AS dang_total
+           FROM wd WHERE outdeg IS NULL)
+  SELECT f.host, f.is_seed,
+         CASE WHEN f.is_seed THEN
+           ({damp_base} * ((SELECT {scale} // s FROM sn))) // {damp_den}
+         ELSE 0 END
+         + ({damp_num} * (COALESCE(i.inc, 0)
+            + CASE WHEN f.is_seed THEN
+                (SELECT dang_total FROM dang) // (SELECT s FROM sn)
+              ELSE 0 END))
+           // {damp_den} AS trust_u
+  FROM flagged f LEFT JOIN inc i USING (host)
+)"""
+        )
+    return ",\n".join(parts), f"t{iters}"
+
+
+def trustrank_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    iters: int = 5,
+    scale: int = SCALE,
+    damp_num: int = DAMP_NUM,
+    damp_den: int = DAMP_DEN,
+) -> str:
+    """DuckDB oracle for :func:`trustrank`, iterations unrolled."""
+    body, final = trustrank_cte(
+        edges_cte, seeds_cte, iters, scale, damp_num, damp_den
+    )
+    return f"WITH {body}\nSELECT host, trust_u FROM {final}"

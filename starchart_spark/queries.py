@@ -2325,6 +2325,38 @@ def _sql_host_hits() -> str:
 SQL_HOST_HITS = _sql_host_hits()
 
 
+def q_trust_rank(spark, sf_dir):
+    """Seed-personalized PageRank (graph.trustrank, Gyöngyi et al. VLDB
+    2004) over the same orders-derived host graph: teleport + dangling
+    mass return to curated seeds h0..h4 only, so hosts unreachable from
+    the trusted web score a HARD integer zero — the spam/link-farm
+    demotion signal the scheduler subtracts before budget allocation."""
+    from starchart_spark.operators import graph
+
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 41).cast("string")).alias("dst"),
+    ).distinct()
+    seeds = spark.range(5).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host")
+    )
+    return graph.trustrank(edges, seeds, iters=5)
+
+
+def _sql_trust_rank() -> str:
+    from starchart_spark.operators import graph
+
+    return graph.trustrank_sql(
+        "SELECT DISTINCT 'h' || (o_custkey % 37) AS src,"
+        " 'h' || (o_orderkey % 41) AS dst FROM orders",
+        "SELECT 'h' || unnest(range(0, 5)) AS host",
+        iters=5,
+    )
+
+
+SQL_TRUST_RANK = _sql_trust_rank()
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """MOSS winnowing fingerprints (operators/winnow.py, portable-hash
     parity mode): k=4 token grams, window w=5, rightmost-min selection via
@@ -3240,6 +3272,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
+    "trust_rank": (q_trust_rank, SQL_TRUST_RANK),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),

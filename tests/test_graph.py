@@ -151,3 +151,71 @@ def test_hits_sql_oracle_parity(spark):
         r[0]: (r[1], r[2]) for r in duckdb.sql(sql).fetchall()
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# TrustRank
+
+
+def test_trustrank_unreachable_is_hard_zero(spark):
+    """Trust flows only along paths FROM seeds: the d→e island has no
+    inlink from the trusted side, so both score EXACTLY 0 (integer
+    arithmetic — the demotion signal is a hard zero, not an epsilon)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["host"])
+    t = {r["host"]: r["trust_u"] for r in graph.trustrank(edges, seeds).collect()}
+    assert t["d"] == 0 and t["e"] == 0
+    assert t["a"] > 0 and t["b"] > 0 and t["c"] > 0
+
+
+def test_trustrank_all_seeds_is_pagerank(spark):
+    """seeds = every host ⇒ the recurrence degenerates to PageRank —
+    asserted bit-for-bit, which pins the shared integer program."""
+    edges = spark.range(200).select(
+        F.concat(F.lit("h"), (F.col("id") % 13).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("id") * 5) % 19).cast("string")).alias("dst"),
+    ).distinct()
+    all_hosts = edges.select(F.col("src").alias("host")).union(
+        edges.select(F.col("dst").alias("host"))
+    ).distinct()
+    pr = {r["host"]: r["rank_u"] for r in graph.pagerank(edges, iters=4).collect()}
+    tr = {
+        r["host"]: r["trust_u"]
+        for r in graph.trustrank(edges, all_hosts, iters=4).collect()
+    }
+    assert pr == tr
+
+
+def test_trustrank_empty_seed_raises(spark):
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("zzz",)], ["host"])  # not in graph
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        graph.trustrank(edges, seeds)
+
+
+def test_trustrank_sql_oracle_parity(spark):
+    import duckdb
+
+    rows = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "b"), ("e", "a"), ("f", "g"),
+    ]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    seeds = spark.createDataFrame([("a",), ("d",), ("zz",)], ["host"])
+    got = {
+        r["host"]: r["trust_u"]
+        for r in graph.trustrank(edges, seeds, iters=4).collect()
+    }
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in rows)
+    sql = graph.trustrank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+        "SELECT * FROM (VALUES ('a'), ('d'), ('zz')) AS s(host)",
+        iters=4,
+    )
+    want = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
+    assert got == want
+    assert got["f"] == 0 and got["g"] == 0  # island beyond the seeds
