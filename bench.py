@@ -116,6 +116,9 @@ HEADLINE_QUERIES = [
     # seed-personalized PageRank (spam demotion): same exchange budget as
     # host_pagerank plus one broadcast seed-flag join at build
     "trust_rank",
+    # eTLD+1 site roll-up: distinct-host dim resolves PSL rules (one
+    # exchange), fact enriched via broadcast — the fact never shuffles
+    "site_rollup",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

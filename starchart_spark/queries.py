@@ -2357,6 +2357,47 @@ def _sql_trust_rank() -> str:
 SQL_TRUST_RANK = _sql_trust_rank()
 
 
+_PSL_RULES = [
+    "com", "co.uk", "uk", "ac.jp", "jp", "*.ck", "!www.ck", "blogspot.com",
+]
+
+# five host shapes exercising every PSL branch: multi-label rule, private
+# suffix, wildcard, exception, default "*"
+_SITE_HOST_SQL = """CASE c_custkey % 5
+  WHEN 0 THEN 'shard' || (c_custkey % 13) || '.example' || (c_custkey % 7) || '.co.uk'
+  WHEN 1 THEN 'u' || (c_custkey % 11) || '.blogspot.com'
+  WHEN 2 THEN 'w' || (c_custkey % 3) || '.org.ck'
+  WHEN 3 THEN 'www.ck'
+  ELSE 'site' || (c_custkey % 17) || '.xyz' END"""
+
+
+def q_site_rollup(spark, sf_dir):
+    """Registrable-domain (eTLD+1) extraction (operators/domains.py):
+    PSL-algorithm suffix match against a broadcast rule dim, then the
+    site roll-up a frontier keys politeness/dedup on. Hosts derived from
+    customer keys cover all five rule branches (normal, multi-label,
+    private, wildcard, exception, default)."""
+    from starchart_spark.operators import domains
+
+    host = F.expr(_SITE_HOST_SQL)
+    hosts = _t(spark, sf_dir, "customer").select(host.alias("hostname"))
+    rules = spark.createDataFrame([(r,) for r in _PSL_RULES], ["rule"])
+    return domains.registrable_domain(hosts, rules)
+
+
+def _sql_site_rollup() -> str:
+    from starchart_spark.operators import domains
+
+    rules_vals = ", ".join(f"('{r}')" for r in _PSL_RULES)
+    return domains.registrable_domain_sql(
+        f"SELECT {_SITE_HOST_SQL} AS hostname FROM customer",
+        f"SELECT * FROM (VALUES {rules_vals}) AS r(rule)",
+    )
+
+
+SQL_SITE_ROLLUP = _sql_site_rollup()
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """MOSS winnowing fingerprints (operators/winnow.py, portable-hash
     parity mode): k=4 token grams, window w=5, rightmost-min selection via
@@ -3273,6 +3314,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
     "trust_rank": (q_trust_rank, SQL_TRUST_RANK),
+    "site_rollup": (q_site_rollup, SQL_SITE_ROLLUP),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
