@@ -119,6 +119,9 @@ HEADLINE_QUERIES = [
     # eTLD+1 site roll-up: distinct-host dim resolves PSL rules (one
     # exchange), fact enriched via broadcast — the fact never shuffles
     "site_rollup",
+    # inbound anchor-term profiles: host-distinct weighting + two-pass
+    # skew-proof per-target top-k
+    "anchor_terms",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

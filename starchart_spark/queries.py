@@ -2398,6 +2398,36 @@ def _sql_site_rollup() -> str:
 SQL_SITE_ROLLUP = _sql_site_rollup()
 
 
+def q_anchor_terms(spark, sf_dir):
+    """Inbound anchor-term profile per target host (operators/anchors.py):
+    tokenize → DISTINCT linking-host weighting (a link farm counts once)
+    → top-5 terms per target via the two-pass skew-proof ranker. Links
+    derive from part: p_name supplies real multi-word anchor text with
+    heavy cross-host term overlap (ties exercise the deterministic
+    (n_hosts DESC, term ASC) order)."""
+    from starchart_spark.operators import anchors
+
+    links = _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("s"), (F.col("p_partkey") % 23).cast("string")).alias("src"),
+        F.concat(F.lit("d"), (F.col("p_partkey") % 7).cast("string")).alias("dst"),
+        F.col("p_name").alias("anchor"),
+    )
+    return anchors.anchor_terms(links, k=5)
+
+
+def _sql_anchor_terms() -> str:
+    from starchart_spark.operators import anchors
+
+    return anchors.anchor_terms_sql(
+        "SELECT 's' || (p_partkey % 23) AS src, 'd' || (p_partkey % 7) AS dst,"
+        " p_name AS anchor FROM part",
+        k=5,
+    )
+
+
+SQL_ANCHOR_TERMS = _sql_anchor_terms()
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """MOSS winnowing fingerprints (operators/winnow.py, portable-hash
     parity mode): k=4 token grams, window w=5, rightmost-min selection via
@@ -3315,6 +3345,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "host_hits": (q_host_hits, SQL_HOST_HITS),
     "trust_rank": (q_trust_rank, SQL_TRUST_RANK),
     "site_rollup": (q_site_rollup, SQL_SITE_ROLLUP),
+    "anchor_terms": (q_anchor_terms, SQL_ANCHOR_TERMS),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
