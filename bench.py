@@ -122,6 +122,9 @@ HEADLINE_QUERIES = [
     # inbound anchor-term profiles: host-distinct weighting + two-pass
     # skew-proof per-target top-k
     "anchor_terms",
+    # sitemap-protocol ingestion: codegen'd regex scan, in-plan fan-out,
+    # zero shuffles until the frontier dedup
+    "sitemap_parse",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

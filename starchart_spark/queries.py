@@ -2428,6 +2428,107 @@ def _sql_anchor_terms() -> str:
 SQL_ANCHOR_TERMS = _sql_anchor_terms()
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap-protocol ingestion (operators/sitemaps.py): seven hosts'
+    urlsets (optional lastmod/changefreq/priority by key mods, escaped
+    entities in every loc) plus one sitemapindex host, assembled
+    deterministically from orders and parsed back out — entry order,
+    entity unescaping, date math and milli-unit priorities all pinned
+    against the identical SQL-side assembly + parse."""
+    from starchart_spark.operators import sitemaps
+
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    host = F.concat(F.lit("h"), (F.col("o_custkey") % 7).cast("string"))
+    lastmod = F.date_add(F.to_date(F.lit("1992-01-01")), (ok % 2000).cast("int"))
+    snip = F.concat(
+        F.lit("<url><loc>http://"), host, F.lit("/p"), ok.cast("string"),
+        F.lit("?a=1&amp;b="), (ok % 5).cast("string"), F.lit("</loc>"),
+        F.when(
+            ok % 3 == 0,
+            F.concat(F.lit("<lastmod>"), lastmod.cast("string"), F.lit("</lastmod>")),
+        ).otherwise(F.lit("")),
+        F.when(ok % 4 == 0, F.lit("<changefreq>daily</changefreq>")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            ok % 2 == 0,
+            F.concat(F.lit("<priority>0."), (ok % 10).cast("string"), F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    urlsets = (
+        o.select(host.alias("hostname"), ok.alias("k"), snip.alias("s"))
+        .groupBy("hostname")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "s"))),
+                        lambda x: x["s"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("body")
+        )
+    )
+    idx_snip = F.concat(
+        F.lit("<sitemap><loc>http://hidx/sm-"), ok.cast("string"),
+        F.lit(".xml</loc></sitemap>"),
+    )
+    index = (
+        o.filter(ok % 97 == 0)
+        .select(ok.alias("k"), idx_snip.alias("s"))
+        .groupBy()
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "s"))),
+                        lambda x: x["s"],
+                    ),
+                    "",
+                ),
+                F.lit("</sitemapindex>"),
+            ).alias("body")
+        )
+        .select(F.lit("hidx").alias("hostname"), "body")
+    )
+    return sitemaps.parse_sitemaps(urlsets.unionByName(index))
+
+
+def _sql_sitemap_parse() -> str:
+    from starchart_spark.operators import sitemaps
+
+    snip = """'<url><loc>http://h' || (o_custkey % 7) || '/p' || o_orderkey
+      || '?a=1&amp;b=' || (o_orderkey % 5) || '</loc>'
+      || CASE WHEN o_orderkey % 3 = 0 THEN '<lastmod>' ||
+           CAST(DATE '1992-01-01' + INTERVAL ((o_orderkey % 2000)) DAY AS VARCHAR)
+           || '</lastmod>' ELSE '' END
+      || CASE WHEN o_orderkey % 4 = 0 THEN '<changefreq>daily</changefreq>' ELSE '' END
+      || CASE WHEN o_orderkey % 2 = 0 THEN '<priority>0.' || (o_orderkey % 10)
+           || '</priority>' ELSE '' END
+      || '</url>'"""
+    bodies = f"""
+  SELECT 'h' || (o_custkey % 7) AS hostname,
+         '<urlset>' || string_agg({snip}, '' ORDER BY o_orderkey) || '</urlset>' AS body
+  FROM orders GROUP BY 1
+  UNION ALL
+  SELECT 'hidx' AS hostname,
+         '<sitemapindex>' || string_agg(
+           '<sitemap><loc>http://hidx/sm-' || o_orderkey || '.xml</loc></sitemap>',
+           '' ORDER BY o_orderkey) || '</sitemapindex>' AS body
+  FROM orders WHERE o_orderkey % 97 = 0
+"""
+    return sitemaps.parse_sitemaps_sql(bodies)
+
+
+SQL_SITEMAP_PARSE = _sql_sitemap_parse()
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """MOSS winnowing fingerprints (operators/winnow.py, portable-hash
     parity mode): k=4 token grams, window w=5, rightmost-min selection via
@@ -3346,6 +3447,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "trust_rank": (q_trust_rank, SQL_TRUST_RANK),
     "site_rollup": (q_site_rollup, SQL_SITE_ROLLUP),
     "anchor_terms": (q_anchor_terms, SQL_ANCHOR_TERMS),
+    "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
