@@ -125,6 +125,9 @@ HEADLINE_QUERIES = [
     # sitemap-protocol ingestion: codegen'd regex scan, in-plan fan-out,
     # zero shuffles until the frontier dedup
     "sitemap_parse",
+    # deep-URL normalization: RFC 3986 dot-segment/port/userinfo rules +
+    # tracking-strip + query sort, pure codegen, one dedup exchange
+    "deep_url_dedup",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -2529,6 +2529,52 @@ def _sql_sitemap_parse() -> str:
 SQL_SITEMAP_PARSE = _sql_sitemap_parse()
 
 
+# three alias shapes of one resource per customer key: case+default-port+
+# userinfo noise, dot-segments, tracking/permuted query params
+_DEEP_URL_SQL = """CASE c_custkey % 3
+  WHEN 0 THEN 'HTTP://User@Forge-' || (c_custkey % 50) || '.Test:80/a//p'
+       || (c_custkey % 200) || '/./x/../y?b=' || (c_custkey % 3)
+       || '&utm_source=z&a=' || (c_custkey % 5) || '#f'
+  WHEN 1 THEN 'http://forge-' || (c_custkey % 50) || '.test/a/p'
+       || (c_custkey % 200) || '/y?a=' || (c_custkey % 5) || '&b=' || (c_custkey % 3)
+  ELSE 'http://forge-' || (c_custkey % 50) || '.test/q/../a/p'
+       || (c_custkey % 200) || '/y?b=' || (c_custkey % 3) || '&&a=' || (c_custkey % 5)
+  END"""
+
+
+def q_deep_url_dedup(spark, sf_dir):
+    """Deep-URL normalization (functions/urls.py deep_url_normalize):
+    RFC 3986 §6.2 syntax normalization + tracking-param strip + query
+    sort, then the frontier roll-up — three alias shapes per resource
+    collapse to ONE key with n_aliases = 3, proving the dedup effect the
+    operator exists for. All rules are codegen'd JVM regexes replayed
+    character-identically by the oracle."""
+    from starchart_spark.functions import urls as urls_fn
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.expr(_DEEP_URL_SQL).alias("url")
+    )
+    return (
+        cust.select(urls_fn.deep_url_normalize("url").alias("norm_url"))
+        .groupBy("norm_url")
+        .agg(F.count(F.lit(1)).alias("n_aliases"))
+    )
+
+
+def _sql_deep_url_dedup() -> str:
+    from starchart_spark.functions import urls as _u
+
+    norm = _u.deep_url_normalize_sql("url")
+    return f"""
+WITH raw AS (SELECT {_DEEP_URL_SQL} AS url FROM customer)
+SELECT {norm} AS norm_url, CAST(COUNT(*) AS BIGINT) AS n_aliases
+FROM raw GROUP BY 1
+"""
+
+
+SQL_DEEP_URL_DEDUP = _sql_deep_url_dedup()
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """MOSS winnowing fingerprints (operators/winnow.py, portable-hash
     parity mode): k=4 token grams, window w=5, rightmost-min selection via
@@ -3448,6 +3494,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "site_rollup": (q_site_rollup, SQL_SITE_ROLLUP),
     "anchor_terms": (q_anchor_terms, SQL_ANCHOR_TERMS),
     "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
+    "deep_url_dedup": (q_deep_url_dedup, SQL_DEEP_URL_DEDUP),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
