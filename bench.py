@@ -128,6 +128,8 @@ HEADLINE_QUERIES = [
     # deep-URL normalization: RFC 3986 dot-segment/port/userinfo rules +
     # tracking-strip + query sort, pure codegen, one dedup exchange
     "deep_url_dedup",
+    # redirect-chain resolution: pointer doubling, O(log L) self-joins
+    "redirect_resolve",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

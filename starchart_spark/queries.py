@@ -2575,6 +2575,53 @@ FROM raw GROUP BY 1
 SQL_DEEP_URL_DEDUP = _sql_deep_url_dedup()
 
 
+def _redir_url(n: str) -> str:
+    """URL of synthetic redirect node ``n`` — shared Spark/DuckDB text."""
+    return f"'http://h' || (({n}) % 41) || '.test/r/' || ({n})"
+
+
+# deterministic chain topology over customer keys: blocks of 8 with a
+# chain edge pos->pos+1; every 5th block closes pos7 -> pos0 into an
+# 8-cycle (block 0's closer targets key 0, which customer lacks — that
+# block stays an ordinary terminating chain, identically in both engines)
+_REDIR_EDGE_FILTER = "c_custkey % 8 < 7 OR (c_custkey - 7) % 40 = 0"
+_REDIR_DST = (
+    f"CASE WHEN c_custkey % 8 < 7 THEN {_redir_url('c_custkey + 1')} "
+    f"ELSE {_redir_url('c_custkey - 7')} END"
+)
+
+
+def q_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py): pointer doubling
+    resolves every alias to its chain terminal in 3 self-joins (cap 2^3,
+    chains here are ≤7 hops), cycles flagged with the 2^R-step witness.
+    The oracle is a bounded recursive walk with the same cap — exact on
+    resolved AND cycle rows (module-docstring invariants)."""
+    from starchart_spark.operators import redirects
+
+    edges = (
+        _t(spark, sf_dir, "customer")
+        .where(F.expr(_REDIR_EDGE_FILTER))
+        .select(
+            F.expr(_redir_url("c_custkey")).alias("src"),
+            F.expr(_REDIR_DST).alias("dst"),
+        )
+    )
+    return redirects.resolve_redirects(edges, rounds=3)
+
+
+def _sql_redirect_resolve() -> str:
+    from starchart_spark.operators import redirects
+
+    edges_cte = f"""SELECT {_redir_url('c_custkey')} AS src,
+       {_REDIR_DST} AS dst
+  FROM customer WHERE {_REDIR_EDGE_FILTER}"""
+    return redirects.resolve_redirects_sql(edges_cte, rounds=3)
+
+
+SQL_REDIRECT_RESOLVE = _sql_redirect_resolve()
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """MOSS winnowing fingerprints (operators/winnow.py, portable-hash
     parity mode): k=4 token grams, window w=5, rightmost-min selection via
@@ -3495,6 +3542,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "anchor_terms": (q_anchor_terms, SQL_ANCHOR_TERMS),
     "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
     "deep_url_dedup": (q_deep_url_dedup, SQL_DEEP_URL_DEDUP),
+    "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
