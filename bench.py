@@ -130,6 +130,9 @@ HEADLINE_QUERIES = [
     "deep_url_dedup",
     # redirect-chain resolution: pointer doubling, O(log L) self-joins
     "redirect_resolve",
+    # DUST param-relevance mining: one explode + one high-cardinality
+    # hash aggregate + one URL equi-join
+    "dust_params",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -2622,6 +2622,46 @@ def _sql_redirect_resolve() -> str:
 SQL_REDIRECT_RESOLVE = _sql_redirect_resolve()
 
 
+# canonical sorted-query URLs with one relevant always-on param (a), one
+# irrelevant sometimes-absent param (sid), one relevant sometimes-absent
+# param (z); the fingerprint is a pure function of (host, path, a, z) so
+# the miner must promote exactly sid
+_DUST_URL_SQL = """'http://h' || (o_custkey % 13) || '.test/p' || (o_orderkey % 97)
+  || '?a=' || (o_orderkey % 5)
+  || CASE WHEN o_orderkey % 3 > 0 THEN '&sid=' || (o_orderkey % 1000) ELSE '' END
+  || CASE WHEN o_orderkey % 7 = 0 THEN '&z=' || (o_orderkey % 2) ELSE '' END"""
+_DUST_FP_SQL = """(o_custkey % 13) * 1000000 + (o_orderkey % 97) * 1000
+  + (o_orderkey % 5) * 10
+  + CASE WHEN o_orderkey % 7 = 0 THEN 1 + (o_orderkey % 2) ELSE 0 END"""
+
+
+def q_dust_params(spark, sf_dir):
+    """DUST param-relevance mining (operators/dust.py): which query params
+    never change content, per host — value-variants AND absent-variants
+    grouped by the param-stripped residual URL, one high-cardinality hash
+    aggregate + one URL equi-join. Expected promotion: sid only."""
+    from starchart_spark.operators import dust
+
+    obs = _t(spark, sf_dir, "orders").select(
+        F.expr(_DUST_URL_SQL).alias("url"),
+        F.expr(_DUST_FP_SQL).cast("long").alias("fingerprint"),
+    )
+    return dust.param_relevance(obs, min_support=2)
+
+
+def _sql_dust_params() -> str:
+    from starchart_spark.operators import dust
+
+    obs_cte = (
+        f"SELECT {_DUST_URL_SQL} AS url, CAST({_DUST_FP_SQL} AS BIGINT) AS fp "
+        "FROM orders"
+    )
+    return dust.param_relevance_sql(obs_cte, min_support=2)
+
+
+SQL_DUST_PARAMS = _sql_dust_params()
+
+
 def q_winnow_fingerprint(spark, sf_dir):
     """MOSS winnowing fingerprints (operators/winnow.py, portable-hash
     parity mode): k=4 token grams, window w=5, rightmost-min selection via
@@ -3543,6 +3583,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
     "deep_url_dedup": (q_deep_url_dedup, SQL_DEEP_URL_DEDUP),
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
+    "dust_params": (q_dust_params, SQL_DUST_PARAMS),
     "winnow_fingerprint": (q_winnow_fingerprint, SQL_WINNOW_FINGERPRINT),
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
