@@ -133,6 +133,9 @@ HEADLINE_QUERIES = [
     # DUST param-relevance mining: one explode + one high-cardinality
     # hash aggregate + one URL equi-join
     "dust_params",
+    # Kneser–Ney bigram cross-entropy (the smoothing KenLM ships): three
+    # counting dims + one scoring join, all JVM
+    "lm_kn_score",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -97,6 +97,107 @@ def bigram_model(
     )
 
 
+def kn_model(
+    corpus_bigrams: DataFrame, discount: float = 0.75
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Interpolated Kneser–Ney bigram model (the smoothing KenLM actually
+    ships, Kneser & Ney 1995 / Chen & Goodman 1999) as four count dims:
+
+    - ``pairs``  (bigram, c_bg)                — bigram occurrence counts
+    - ``ctx``    (v, c_ctx, n_follow)          — context total + distinct
+      followers N1+(v·), the interpolation-weight numerator
+    - ``cont``   (w, n_prec)                   — distinct predecessors
+      N1+(·w), the continuation-count numerator
+    - ``npp``    1-row (npp)                   — distinct bigram TYPES
+      N1+(··), the continuation denominator
+
+        P_KN(w|v) = (c(v,w) − D)/c(v·) + (D·N1+(v·)/c(v·)) · N1+(·w)/N1+(··)
+
+    Everything is counting — two aggregates over the bigram dim plus one
+    over its two key projections — so the model verifies against a pure
+    SQL oracle (no training loop, no floats until the final ln). The
+    bigram dim is corpus-sparsity-sized; at open-web scale the same KenLM
+    prune as :func:`bigram_model` applies upstream (drop c_bg < k rows
+    BEFORE this call and the pruned mass falls into the backoff branch)."""
+    counts = corpus_bigrams.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    v = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    w = F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))
+    ctx = counts.groupBy(v.alias("v")).agg(
+        F.sum("c_bg").alias("c_ctx"), F.count("*").alias("n_follow")
+    )
+    cont = counts.groupBy(w.alias("w")).agg(F.count("*").alias("n_prec"))
+    npp = counts.agg(F.count("*").alias("npp"))
+    return counts, ctx, cont, npp
+
+
+def kn_cross_entropy(
+    df: DataFrame,
+    pairs: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    npp: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """``(id, n_bigrams, ce)`` — per-document cross-entropy under a
+    Kneser–Ney bigram model from :func:`kn_model` (typically trained on a
+    held-out / reference corpus, so scored docs DO hit unseen events).
+
+    Per-bigram probability, by what the model has seen:
+
+    - bigram seen:  the full interpolated P_KN (docstring of
+      :func:`kn_model`);
+    - only the context ``v`` seen:  the interpolation term alone,
+      (D·N1+(v·)/c(v·)) · P_cont(w);
+    - ``v`` unseen:  the lower-order distribution P_cont(w) by itself
+      (standard back-off-to-lower-order, there is no weight to scale by);
+    - where P_cont needs an unseen ``w``:  the documented floor D/N1+(··)
+      (a fractional continuation type — keeps every branch strictly
+      positive and engine-replayable).
+
+    Plan: doc bigrams left-join three narrow dims (pair counts on the
+    bigram key, context stats on v, continuation counts on w — Spark
+    broadcasts each when it fits) + a broadcast 1-row cross join for the
+    denominator; per-bigram ln is 6-dp-rounded and summed in exact integer
+    micro-nats (same order-independence discipline as
+    :func:`lm_cross_entropy`, see module docstring)."""
+    d = F.lit(float(discount))
+    doc_bg = _doc_bigrams(df, text_col, id_col)
+    scored = (
+        doc_bg.withColumn("v", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(pairs, "bigram", "left")
+        .join(ctx, "v", "left")
+        .join(cont, "w", "left")
+        .crossJoin(F.broadcast(npp))
+    )
+    pcont = F.coalesce(F.col("n_prec").cast("double"), d) / F.col("npp")
+    p = (
+        F.when(
+            F.col("c_bg").isNotNull(),
+            (F.col("c_bg") - d) / F.col("c_ctx")
+            + (d * F.col("n_follow") / F.col("c_ctx")) * pcont,
+        )
+        .when(
+            F.col("c_ctx").isNotNull(),
+            (d * F.col("n_follow") / F.col("c_ctx")) * pcont,
+        )
+        .otherwise(pcont)
+    )
+    return (
+        scored.withColumn("logp", F.round(F.log(p), 6))
+        .withColumn("logp_u", F.round(F.col("logp") * F.lit(1e6)).cast("long"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                -(F.sum("logp_u") / F.lit(1e6)) / F.count("*"), 6
+            ).alias("ce"),
+        )
+    )
+
+
 def lm_cross_entropy(
     df: DataFrame,
     text_col: str = "text",

@@ -1815,6 +1815,65 @@ def q_lm_score(spark, sf_dir):
     return lm.lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_lm_kn_score(spark, sf_dir):
+    """Kneser–Ney-smoothed bigram cross-entropy — the smoothing KenLM
+    actually ships (CCNet's scorer). Trained on the even-doc_id HALF of
+    the corpus and scored over ALL docs, so the driver gate exercises all
+    three probability branches (seen bigram / backoff through a seen
+    context / unseen context → continuation distribution), not just the
+    self-trained fast path."""
+    from starchart_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    train = lm._doc_bigrams(docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    pairs, ctx, cont, npp = lm.kn_model(train)
+    return lm.kn_cross_entropy(docs, pairs, ctx, cont, npp)
+
+
+SQL_LM_KN_SCORE = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), bg AS (
+  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bigram
+  FROM base WHERE len(t) >= 2
+), train AS (
+  SELECT bigram FROM bg WHERE doc_id % 2 = 0
+), pairs AS (
+  SELECT bigram, count(*) AS c_bg FROM train GROUP BY bigram
+), ctx AS (
+  SELECT split_part(bigram, ' ', 1) AS v, sum(c_bg) AS c_ctx,
+         count(*) AS n_follow
+  FROM pairs GROUP BY 1
+), cont AS (
+  SELECT split_part(bigram, ' ', 2) AS w, count(*) AS n_prec
+  FROM pairs GROUP BY 1
+), npp AS (
+  SELECT count(*) AS npp FROM pairs
+), scored AS (
+  SELECT b.doc_id,
+    round(ln(CASE
+      WHEN p.c_bg IS NOT NULL THEN
+        (p.c_bg - 0.75) / c.c_ctx
+        + (0.75 * c.n_follow / c.c_ctx)
+          * (coalesce(CAST(co.n_prec AS DOUBLE), 0.75) / n.npp)
+      WHEN c.c_ctx IS NOT NULL THEN
+        (0.75 * c.n_follow / c.c_ctx)
+          * (coalesce(CAST(co.n_prec AS DOUBLE), 0.75) / n.npp)
+      ELSE coalesce(CAST(co.n_prec AS DOUBLE), 0.75) / n.npp
+    END), 6) AS logp
+  FROM bg b
+  LEFT JOIN pairs p USING (bigram)
+  LEFT JOIN ctx c ON split_part(b.bigram, ' ', 1) = c.v
+  LEFT JOIN cont co ON split_part(b.bigram, ' ', 2) = co.w
+  CROSS JOIN npp n
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(-(sum(CAST(round(logp * 1e6) AS BIGINT)) / 1e6) / count(*), 6) AS ce
+FROM scored GROUP BY doc_id
+"""
+
+
 SQL_LM_SCORE = r"""
 WITH base AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -3569,6 +3628,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "semantic_dedup_scale": (q_semantic_dedup_scale, SQL_SEMANTIC_DEDUP_SCALE),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "lm_kn_score": (q_lm_kn_score, SQL_LM_KN_SCORE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

@@ -43,10 +43,18 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    # None-safe (and mixed-type-safe: float columns may normalize NaN to
+    # the string "nan"): order by (is-null, type-name, value) per cell.
+    return tuple(
+        (v is None, type(v).__name__, v if v is not None else "") for v in row
+    )
+
+
 def _spark_rows(df):
     cols = sorted(df.columns)
     return sorted(
-        tuple(_norm(r[c]) for c in cols) for r in df.collect()
+        (tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=_sort_key
     )
 
 
@@ -54,7 +62,10 @@ def _duck_rows(con, sql):
     rel = con.sql(sql)
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(row[i]) for i in order) for row in rel.fetchall())
+    return sorted(
+        (tuple(_norm(row[i]) for i in order) for row in rel.fetchall()),
+        key=_sort_key,
+    )
 
 
 def test_entry_smoke(spark):

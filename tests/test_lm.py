@@ -96,3 +96,83 @@ def test_cross_corpus_model_scores_unseen(spark):
     v = vdf.collect()[0].v
     assert abs(got[11] - round(math.log(v), 6)) <= 2e-6
     assert got[10] < got[11]
+
+
+def _hand_kn(train_rows, score_rows, d=0.75):
+    """Independent KN recompute: counts from train, score score_rows."""
+    bg: dict[tuple[str, str], int] = {}
+    for _, t in train_rows:
+        ts = t.split()
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    ctx_tot: dict[str, int] = {}
+    ctx_fol: dict[str, int] = {}
+    prec: dict[str, int] = {}
+    for (a, b), c in bg.items():
+        ctx_tot[a] = ctx_tot.get(a, 0) + c
+        ctx_fol[a] = ctx_fol.get(a, 0) + 1
+        prec[b] = prec.get(b, 0) + 1
+    npp = len(bg)
+    out = {}
+    for did, t in score_rows:
+        ts = t.split()
+        if len(ts) < 2:
+            continue
+        lps = []
+        for a, b in zip(ts, ts[1:]):
+            pc = (prec[b] if b in prec else d) / npp
+            if (a, b) in bg:
+                p = (bg[(a, b)] - d) / ctx_tot[a] + (d * ctx_fol[a] / ctx_tot[a]) * pc
+            elif a in ctx_tot:
+                p = (d * ctx_fol[a] / ctx_tot[a]) * pc
+            else:
+                p = pc
+            lps.append(round(math.log(p), 6))
+        out[did] = (len(lps), round(-sum(lps) / len(lps), 6))
+    return out
+
+
+def test_kn_all_three_branches_match_hand_computation(spark):
+    """Seen bigram / seen-context backoff / unseen-context continuation all
+    fire in one scored corpus and match an independent recompute."""
+    train = [(0, "a b a b a c"), (2, "b c b a")]
+    score = [
+        (10, "a b a c"),      # all bigrams seen
+        (11, "a a b"),        # (a,a) unseen but context 'a' seen -> backoff
+        (12, "z b z a"),      # context 'z' unseen -> continuation dist
+        (13, "z q"),          # unseen w too -> D/npp floor inside pcont
+    ]
+    train_df = lm._doc_bigrams(_docs(spark, train), "text", "doc_id")
+    pairs, ctx, cont, npp = lm.kn_model(train_df)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ce"])
+        for r in lm.kn_cross_entropy(
+            _docs(spark, score), pairs, ctx, cont, npp
+        ).collect()
+    }
+    assert got == _hand_kn(train, score)
+
+
+def test_kn_probabilities_sum_below_one_per_context(spark):
+    """For a trained context v, sum over seen w of P_KN(w|v) <= 1 (the
+    discounted mass plus interpolation never over-allocates)."""
+    train = [(0, "a b a b a c b c c a")]
+    train_df = lm._doc_bigrams(_docs(spark, train), "text", "doc_id")
+    pairs, ctx, cont, npp = lm.kn_model(train_df)
+    # score every (v, w) pair in the vocab as 2-token docs
+    vocab = ["a", "b", "c"]
+    score = [
+        (i * 10 + j, f"{v} {w}")
+        for i, v in enumerate(vocab)
+        for j, w in enumerate(vocab)
+    ]
+    rows = lm.kn_cross_entropy(
+        _docs(spark, score), pairs, ctx, cont, npp
+    ).collect()
+    # ce of a 1-bigram doc is -logp, so p = exp(-ce)
+    by_v: dict[str, float] = {}
+    for r in rows:
+        v = next(t for d, t in score if d == r["doc_id"]).split()[0]
+        by_v[v] = by_v.get(v, 0.0) + math.exp(-r["ce"])
+    for v, total in by_v.items():
+        assert total <= 1.0 + 1e-4, (v, total)
