@@ -136,6 +136,9 @@ HEADLINE_QUERIES = [
     # Kneser–Ney bigram cross-entropy (the smoothing KenLM ships): three
     # counting dims + one scoring join, all JVM
     "lm_kn_score",
+    # interleaved media↔text context pairing (OBELICS/MMC4 extraction):
+    # one explode + one doc-keyed window exchange
+    "interleave_pairs",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -1,0 +1,93 @@
+"""Interleaved media↔text context pairing — the multimodal-pretraining
+extraction step over span documents.
+
+Interleaved web documents (the corpus shape this engine crawls: ordered
+``spans: array<struct<kind, text, media_ref, offset>>`` per doc,
+crawl/corpus.py) feed image-text pretraining two ways: OBELICS (Laurençon
+et al. 2023) keeps the full interleaved sequence, MMC4 (Zhu et al. 2023)
+attaches each image to surrounding text. This module is the second form:
+for every media span, the nearest preceding and following text spans in
+document order, plus position signals (span offset, #text spans before,
+#media in doc) that downstream pairing/packing consumes.
+
+Spark-first shape — ONE explode + ONE exchange:
+
+- ``posexplode`` the spans array (order is the array order, which the
+  corpus contract guarantees is offset order; ``offset`` is still carried
+  and used as the window key so pre-sorted-ness is semantics, not trust);
+- one window partitioned by doc orders all spans; ``before_text`` /
+  ``after_text`` are conditional ``last``/``first`` with ``ignorenulls``
+  over the preceding/following frames — no self-join, no second shuffle;
+- media rows filter out AFTER the window (text rows exist only to be
+  seen by the frames), so the whole operator is scan → explode → one
+  window exchange → filter.
+
+Boundary semantics: a media span with no text before it (lead media) gets
+NULL ``before_text``; trailing media gets NULL ``after_text`` — NULLs are
+the honest answer (MMC4 drops or cross-attends these), and the driver
+gate exercises both via media-first layouts.
+
+At 100 TB the window key is (doc_id), i.e. perfectly parallel and skewless
+(docs are bounded; there is no mega-doc the way there is a mega-host), and
+the shuffle carries only (doc key, span) rows — media payloads stay refs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def media_text_pairs(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """(doc_id, media_ref, offset, before_text, after_text, n_text_before,
+    n_media_in_doc) — one row per media span, in-document context attached.
+
+    ``docs`` carries ``spans_col: array<struct<kind, text, media_ref,
+    offset>>`` (the interleaved corpus shape, crawl/corpus.py). Ordering
+    inside a doc is by ``offset`` (ties by array position, which the
+    posexplode index supplies).
+    """
+    spans = docs.select(
+        F.col(doc_col),
+        F.posexplode(spans_col).alias("pos", "span"),
+    ).select(
+        doc_col,
+        "pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    w = Window.partitionBy(doc_col).orderBy("offset", "pos")
+    text_only = F.when(F.col("kind") == "text", F.col("text"))
+    media_flag = F.when(F.col("kind") == "media", 1).otherwise(0)
+    before = F.last(text_only, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    after = F.first(text_only, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    n_text_before = F.sum(
+        F.when(F.col("kind") == "text", 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    n_media = F.sum(media_flag).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        spans.select(
+            doc_col,
+            "kind",
+            "media_ref",
+            "offset",
+            before.alias("before_text"),
+            after.alias("after_text"),
+            F.coalesce(n_text_before, F.lit(0)).cast("int").alias("n_text_before"),
+            n_media.cast("int").alias("n_media_in_doc"),
+        )
+        .filter(F.col("kind") == "media")
+        .drop("kind")
+    )

@@ -2996,6 +2996,119 @@ WHERE s.media_ref IS NULL
 """
 
 
+def q_interleave_pairs(spark, sf_dir):
+    """OBELICS/MMC4-style media↔text context pairing over interleaved span
+    docs (operators/interleave.py): per media span, the nearest preceding
+    and following text spans plus position signals — one explode + one
+    doc-keyed window exchange. Spans synthesize deterministically from
+    documents in three layouts (doc_id % 3): media-FIRST (NULL
+    before_text), media-LAST (NULL after_text), and single-media-between
+    — so the gate verifies both boundary semantics and the interior case."""
+    from starchart_spark.operators import interleave
+
+    docs = _t(spark, sf_dir, "documents")
+    t1 = F.expr("substring(text, 1, cast(floor(n_chars / 2) as int))")
+    t2 = F.expr("substring(text, cast(floor(n_chars / 2) as int) + 1)")
+    ext = F.expr(
+        "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'mp4' ELSE 'bin' END"
+    )
+    ref1 = F.concat(
+        F.lit("https://cdn"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".test/img/"), (F.col("doc_id") % 40).cast("string"),
+        F.lit("."), ext,
+    )
+    ref2 = F.concat(
+        F.lit("https://forge"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".test/avatars/u"), (F.col("doc_id") % 175).cast("string"),
+        F.lit(".png"),
+    )
+
+    def text_span(txt, off):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            txt.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    def media_span(ref, off):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    spans = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(
+                media_span(ref1, 0), text_span(t1, 1),
+                media_span(ref2, 2), text_span(t2, 3),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.array(
+                text_span(t1, 0), media_span(ref1, 1),
+                text_span(t2, 2), media_span(ref2, 3),
+            ),
+        )
+        .otherwise(
+            F.array(text_span(t1, 0), text_span(t2, 1), media_span(ref1, 2))
+        )
+    )
+    return interleave.media_text_pairs(
+        docs.select("doc_id", spans.alias("spans"))
+    )
+
+
+SQL_INTERLEAVE_PAIRS = r"""
+WITH d AS (
+  SELECT doc_id,
+    substr(text, 1, CAST(floor(n_chars / 2) AS INT)) AS t1,
+    substr(text, CAST(floor(n_chars / 2) AS INT) + 1) AS t2,
+    'https://cdn' || (doc_id % 5) || '.test/img/' || (doc_id % 40) || '.'
+      || (CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'mp4' ELSE 'bin' END)
+      AS ref1,
+    'https://forge' || (doc_id % 7) || '.test/avatars/u' || (doc_id % 175)
+      || '.png' AS ref2
+  FROM documents
+), spans AS (
+  SELECT doc_id, 'media' AS kind, NULL AS text, ref1 AS media_ref, 0 AS off
+    FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 'text', t1, NULL, 1 FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 'media', NULL, ref2, 2 FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 'text', t2, NULL, 3 FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 'text', t1, NULL, 0 FROM d WHERE doc_id % 3 = 1
+  UNION ALL SELECT doc_id, 'media', NULL, ref1, 1 FROM d WHERE doc_id % 3 = 1
+  UNION ALL SELECT doc_id, 'text', t2, NULL, 2 FROM d WHERE doc_id % 3 = 1
+  UNION ALL SELECT doc_id, 'media', NULL, ref2, 3 FROM d WHERE doc_id % 3 = 1
+  UNION ALL SELECT doc_id, 'text', t1, NULL, 0 FROM d WHERE doc_id % 3 = 2
+  UNION ALL SELECT doc_id, 'text', t2, NULL, 1 FROM d WHERE doc_id % 3 = 2
+  UNION ALL SELECT doc_id, 'media', NULL, ref1, 2 FROM d WHERE doc_id % 3 = 2
+), ctx AS (
+  SELECT doc_id, kind, media_ref, off AS "offset",
+    last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_text,
+    first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS after_text,
+    CAST(coalesce(sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY off
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+      AS n_text_before,
+    CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id) AS INT) AS n_media_in_doc
+  FROM spans
+)
+SELECT doc_id, media_ref, "offset", before_text, after_text,
+       n_text_before, n_media_in_doc
+FROM ctx WHERE kind = 'media'
+"""
+
+
 def q_crawl_budget(spark, sf_dir):
     """PageRank → crawl-quota bridge (pqueue.allocate_budget): Hamilton
     largest-remainder apportionment of a 100k-fetch budget across hosts
@@ -3648,6 +3761,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "priority_sample": (q_priority_sample, SQL_PRIORITY_SAMPLE),
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
     "media_frontier": (q_media_frontier, SQL_MEDIA_FRONTIER),
+    "interleave_pairs": (q_interleave_pairs, SQL_INTERLEAVE_PAIRS),
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),

@@ -1,0 +1,117 @@
+"""Interleaved media↔text context pairing (operators/interleave.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from starchart_spark.operators import interleave
+
+SPAN_SCHEMA = (
+    "doc_id long, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _span(kind, text=None, ref=None, off=0):
+    return Row(kind=kind, text=text, media_ref=ref, offset=off)
+
+
+def _pairs(spark, rows):
+    df = spark.createDataFrame(rows, SPAN_SCHEMA)
+    return {
+        (r["doc_id"], r["media_ref"]): r.asDict()
+        for r in interleave.media_text_pairs(df).collect()
+    }
+
+
+def test_nearest_text_wins_over_earlier_text(spark):
+    got = _pairs(
+        spark,
+        [
+            (
+                1,
+                [
+                    _span("text", text="far", off=0),
+                    _span("text", text="near", off=1),
+                    _span("media", ref="m1", off=2),
+                    _span("text", text="after1", off=3),
+                    _span("text", text="after2", off=4),
+                ],
+            )
+        ],
+    )
+    r = got[(1, "m1")]
+    assert r["before_text"] == "near"
+    assert r["after_text"] == "after1"
+    assert r["n_text_before"] == 2
+    assert r["n_media_in_doc"] == 1
+
+
+def test_boundary_media_gets_nulls(spark):
+    got = _pairs(
+        spark,
+        [
+            (
+                2,
+                [
+                    _span("media", ref="lead", off=0),
+                    _span("text", text="mid", off=1),
+                    _span("media", ref="trail", off=2),
+                ],
+            )
+        ],
+    )
+    lead, trail = got[(2, "lead")], got[(2, "trail")]
+    assert lead["before_text"] is None and lead["after_text"] == "mid"
+    assert trail["before_text"] == "mid" and trail["after_text"] is None
+    assert lead["n_media_in_doc"] == trail["n_media_in_doc"] == 2
+
+
+def test_orders_by_offset_not_array_position(spark):
+    # Same doc as test_nearest_text_wins but the ARRAY is shuffled; the
+    # offset column, not array order, must drive the context windows.
+    got = _pairs(
+        spark,
+        [
+            (
+                3,
+                [
+                    _span("text", text="after1", off=3),
+                    _span("media", ref="m1", off=2),
+                    _span("text", text="far", off=0),
+                    _span("text", text="after2", off=4),
+                    _span("text", text="near", off=1),
+                ],
+            )
+        ],
+    )
+    r = got[(3, "m1")]
+    assert r["before_text"] == "near"
+    assert r["after_text"] == "after1"
+    assert r["n_text_before"] == 2
+
+
+def test_media_only_doc_all_null_context(spark):
+    got = _pairs(
+        spark,
+        [(4, [_span("media", ref="a", off=0), _span("media", ref="b", off=1)])],
+    )
+    assert got[(4, "a")]["before_text"] is None
+    assert got[(4, "a")]["after_text"] is None
+    assert got[(4, "a")]["n_text_before"] == 0
+    assert got[(4, "b")]["n_media_in_doc"] == 2
+
+
+def test_single_exchange_plan(spark):
+    """The whole operator is scan → explode → ONE window exchange →
+    filter: exactly one Exchange in the physical plan."""
+    df = spark.createDataFrame(
+        [(1, [_span("text", text="t", off=0), _span("media", ref="m", off=1)])],
+        SPAN_SCHEMA,
+    )
+    plan = (
+        interleave.media_text_pairs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
