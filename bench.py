@@ -139,6 +139,9 @@ HEADLINE_QUERIES = [
     # interleaved media↔text context pairing (OBELICS/MMC4 extraction):
     # one explode + one doc-keyed window exchange
     "interleave_pairs",
+    # BPE training's per-round hot path: corpus word-count aggregate +
+    # weighted adjacent-pair counts on the distinct-word dim
+    "bpe_pair_counts",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

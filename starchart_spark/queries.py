@@ -1815,6 +1815,44 @@ def q_lm_score(spark, sf_dir):
     return lm.lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training's 100 TB hot path (operators/bpe.py): corpus-weighted
+    adjacent symbol-pair counts over char+end-of-word symbol arrays — ONE
+    word-count aggregate over the corpus, then zip_with-over-slices pair
+    windows on the distinct-word dim. Top 50 by (cnt desc, pair asc), a
+    total order because pair is the group key. The k-round merge loop
+    itself is pytest-pinned against a pure-Python reference
+    (tests/test_bpe.py); this entry gates the aggregate every merge round
+    re-runs."""
+    from starchart_spark.operators import bpe
+
+    words = bpe.word_counts(_t(spark, sf_dir, "documents"))
+    return (
+        bpe.pair_counts(bpe.init_symbols(words))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+SQL_BPE_PAIR_COUNTS = r"""
+WITH w AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+  ) GROUP BY word
+), syms AS (
+  SELECT list_append([word[i] FOR i IN range(1, len(word) + 1)], '</w>') AS s,
+         n
+  FROM w
+), pairs AS (
+  SELECT unnest([s[i] || ' ' || s[i+1] FOR i IN range(1, len(s))]) AS pair, n
+  FROM syms WHERE len(s) >= 2
+)
+SELECT pair, sum(n) AS cnt FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 50
+"""
+
+
 def q_lm_kn_score(spark, sf_dir):
     """Kneser–Ney-smoothed bigram cross-entropy — the smoothing KenLM
     actually ships (CCNet's scorer). Trained on the even-doc_id HALF of
@@ -3742,6 +3780,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "semantic_dedup_scale": (q_semantic_dedup_scale, SQL_SEMANTIC_DEDUP_SCALE),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "lm_kn_score": (q_lm_kn_score, SQL_LM_KN_SCORE),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
