@@ -142,6 +142,8 @@ HEADLINE_QUERIES = [
     # BPE training's per-round hot path: corpus word-count aggregate +
     # weighted adjacent-pair counts on the distinct-word dim
     "bpe_pair_counts",
+    # RFC 9111 revisit decisions: zero-shuffle scan-level projection
+    "cache_policy",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -1815,6 +1815,90 @@ def q_lm_score(spark, sf_dir):
     return lm.lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_cache_policy(spark, sf_dir):
+    """RFC 9111 revisit decisions (operators/cachectl.py): freshness from
+    max-age or the §4.2.2 heuristic, no-store/no-cache opt-outs, validator
+    preference (ETag over Last-Modified). Headers synthesize from orders
+    so every decision branch appears: o_orderkey % 5 cycles the
+    Cache-Control shape, % 3 the ETag, % 4 the Last-Modified."""
+    from starchart_spark.operators import cachectl
+
+    k = F.col("o_orderkey")
+    resp = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("https://host"), (k % 50).cast("string"),
+            F.lit(".test/page/"), k.cast("string"),
+        ).alias("url"),
+        F.when(k % 3 == 0, F.concat(F.lit('"e'), k.cast("string"), F.lit('"'))).alias(
+            "etag"
+        ),
+        F.when(k % 4 < 2, F.lit(1_000_000) + (k % 1000) * 100).alias(
+            "last_modified_s"
+        ),
+        F.when(k % 5 == 0, F.concat(F.lit("max-age="), ((k % 200) * 10).cast("string")))
+        .when(k % 5 == 1, F.lit("no-cache, public"))
+        .when(k % 5 == 2, F.lit("no-store"))
+        .when(k % 5 == 3, F.lit("public"))
+        .alias("cache_control"),
+        (F.lit(2_000_000) + (k % 5000)).alias("fetched_s"),
+    )
+    return cachectl.cache_decision(resp, now_s=2_003_000)
+
+
+SQL_CACHE_POLICY = r"""
+WITH resp AS (
+  SELECT
+    'https://host' || (o_orderkey % 50) || '.test/page/' || o_orderkey AS url,
+    CASE WHEN o_orderkey % 3 = 0 THEN '"e' || o_orderkey || '"' END AS etag,
+    CASE WHEN o_orderkey % 4 < 2
+         THEN 1000000 + (o_orderkey % 1000) * 100 END AS last_modified_s,
+    CASE o_orderkey % 5
+      WHEN 0 THEN 'max-age=' || ((o_orderkey % 200) * 10)
+      WHEN 1 THEN 'no-cache, public'
+      WHEN 2 THEN 'no-store'
+      WHEN 3 THEN 'public'
+    END AS cache_control,
+    2000000 + (o_orderkey % 5000) AS fetched_s
+  FROM orders
+), d AS (
+  SELECT *,
+    2003000 - fetched_s AS age_s,
+    coalesce(
+      CASE WHEN regexp_extract(coalesce(cache_control, ''),
+                  '(?i)(?:^|[,\s])max-age=([0-9]+)', 1) <> ''
+           THEN CAST(regexp_extract(coalesce(cache_control, ''),
+                  '(?i)(?:^|[,\s])max-age=([0-9]+)', 1) AS BIGINT) END,
+      CASE WHEN last_modified_s IS NOT NULL
+           THEN (fetched_s - last_modified_s) // 10 END,
+      0) AS fresh_for_s,
+    regexp_matches(coalesce(cache_control, ''),
+      '(?i)(?:^|[,\s])no-store(?:$|[,\s])') AS no_store,
+    regexp_matches(coalesce(cache_control, ''),
+      '(?i)(?:^|[,\s])no-cache(?:$|[,\s])') AS no_cache,
+    (etag IS NOT NULL OR last_modified_s IS NOT NULL) AS has_validator
+  FROM resp
+), dec AS (
+  SELECT url, etag, last_modified_s, cache_control, fetched_s, age_s,
+    fresh_for_s,
+    CASE
+      WHEN no_store THEN 'fetch'
+      WHEN no_cache AND has_validator THEN 'revalidate'
+      WHEN no_cache THEN 'fetch'
+      WHEN age_s < fresh_for_s THEN 'fresh'
+      WHEN has_validator THEN 'revalidate'
+      ELSE 'fetch'
+    END AS decision
+  FROM d
+)
+SELECT *,
+  CASE WHEN decision = 'revalidate' THEN
+    CASE WHEN etag IS NOT NULL THEN 'if-none-match'
+         ELSE 'if-modified-since' END
+  END AS cond_header
+FROM dec
+"""
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """BPE training's 100 TB hot path (operators/bpe.py): corpus-weighted
     adjacent symbol-pair counts over char+end-of-word symbol arrays — ONE
@@ -3781,6 +3865,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lm_score": (q_lm_score, SQL_LM_SCORE),
     "lm_kn_score": (q_lm_kn_score, SQL_LM_KN_SCORE),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
+    "cache_policy": (q_cache_policy, SQL_CACHE_POLICY),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
