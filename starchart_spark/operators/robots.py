@@ -166,6 +166,48 @@ def parse_crawl_delay(
     )
 
 
+def parse_sitemap_refs(
+    robots: DataFrame,
+    host_col: str = "hostname",
+    body_col: str = "robots_txt",
+) -> DataFrame:
+    """(hostname, sitemap_url) — ``Sitemap:`` reference mining, the
+    standard discovery handoff from robots.txt to the sitemap channel
+    (operators/sitemaps.py ingests what these point at).
+
+    ``Sitemap`` is the sitemaps.org extension record, NOT an RFC 9309
+    group directive: it is valid anywhere in the file and global to the
+    host, so this parse deliberately ignores group structure (no window —
+    one explode + filter + distinct). Field matching is case-insensitive;
+    the VALUE keeps its case (it is a URL). The field regex splits at the
+    first colon, so the ``https://`` in the value survives intact.
+    Repeated identical lines collapse via the distinct; a host may
+    legitimately list many different sitemaps (one row each)."""
+    lines = robots.select(
+        F.col(host_col).alias("hostname"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("raw"),
+    )
+
+    def _strip(c):
+        return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+    clean = _strip(F.regexp_replace(F.col("raw"), "#.*", ""))
+    return (
+        lines.select(
+            "hostname",
+            F.lower(_strip(F.regexp_extract(clean, "^([^:]+):", 1))).alias(
+                "field"
+            ),
+            _strip(F.regexp_extract(clean, "^[^:]+:(.*)$", 1)).alias(
+                "sitemap_url"
+            ),
+        )
+        .filter((F.col("field") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("hostname", "sitemap_url")
+        .distinct()
+    )
+
+
 def compile_rules(rules: DataFrame, pattern_col: str = "pattern") -> DataFrame:
     """Add (plen, is_plain, rx) to a rules frame.
 

@@ -510,8 +510,10 @@ FROM d
 _ROBOTS_UA = "starchart"
 
 _ROBOTS_BODIES = [
-    # h0: specific group beats *, longest-match, allow-on-tie
+    # h0: specific group beats *, longest-match, allow-on-tie; a Sitemap
+    # record BEFORE any group (global per sitemaps.org, not a group rule)
     "# robots for h0\n"
+    "Sitemap: https://h0.test/sitemap.xml\n"
     "User-agent: starchart\n"
     "Disallow: /private/\n"
     "Allow: /private/pub/\n"
@@ -527,7 +529,9 @@ _ROBOTS_BODIES = [
     "User-agent: *\n"
     "Disallow: /*.json$\n"
     "Disallow: /tmp*/\n"
-    "Crawl-delay: 2.5\n",
+    "Crawl-delay: 2.5\n"
+    "SiteMap: https://h1.test/s1.xml\n"
+    "Sitemap: https://h1.test/s2.xml\n",
     # h2: consecutive UA headers share a group; same-agent groups merge;
     # repeated crawl-delays take the max
     "User-agent: gptbot\n"
@@ -537,7 +541,9 @@ _ROBOTS_BODIES = [
     "User-agent: starchart\n"
     "Disallow: /b/\n"
     "Crawl-delay: 1\n"
-    "Crawl-delay: 7\n",
+    "Crawl-delay: 7\n"
+    "Sitemap: https://h2.test/sm.xml\n"
+    "Sitemap: https://h2.test/sm.xml\n",
     # h3: disallow-all
     "User-agent: *\nDisallow: /\n",
     # h4: orphan rules ignored, empty pattern dropped, case/whitespace mess,
@@ -546,7 +552,8 @@ _ROBOTS_BODIES = [
     "USER-AGENT: STARCHART\n"
     "  disallow:\n"
     "\tDisAllow: /d/  # tail comment\n"
-    "Crawl-delay: nope\n",
+    "Crawl-delay: nope\n"
+    "\tsitemap: https://h4.test/SM.xml  # tail comment\n",
 ]
 
 _ROBOTS_PATHS = [
@@ -748,6 +755,43 @@ SELECT c.hostname,
          AS effective_rate_ms
 FROM consented c LEFT JOIN delays d USING (hostname)
 """
+
+
+def q_robots_sitemap_refs(spark, sf_dir):
+    """Sitemap-record mining from robots.txt (robots.parse_sitemap_refs) —
+    the standard discovery handoff into the sitemap channel. Global per
+    sitemaps.org (valid before/inside/after groups), case-insensitive
+    field with case-preserved URL value, duplicates collapsed."""
+    from starchart_spark.operators import robots as rob
+
+    return rob.parse_sitemap_refs(_robots_bodies_df(spark, sf_dir))
+
+
+def _sql_robots_sitemap_refs() -> str:
+    return f"""
+WITH bodies AS ({_robots_bodies_sql()}),
+lines AS (
+  SELECT hostname, unnest(string_split(robots_txt, chr(10))) AS raw
+  FROM bodies
+),
+clean AS (
+  SELECT hostname,
+         regexp_replace(regexp_replace(raw, '#.*', ''), '^\\s+|\\s+$', '', 'g')
+           AS c
+  FROM lines
+)
+SELECT DISTINCT hostname,
+  regexp_replace(regexp_extract(c, '^[^:]+:(.*)$', 1), '^\\s+|\\s+$', '', 'g')
+    AS sitemap_url
+FROM clean
+WHERE lower(regexp_replace(regexp_extract(c, '^([^:]+):', 1),
+                           '^\\s+|\\s+$', '', 'g')) = 'sitemap'
+  AND regexp_replace(regexp_extract(c, '^[^:]+:(.*)$', 1),
+                     '^\\s+|\\s+$', '', 'g') <> ''
+"""
+
+
+SQL_ROBOTS_SITEMAP_REFS = _sql_robots_sitemap_refs()
 
 
 SQL_ROBOTS_GATE = _sql_robots_gate()
@@ -3821,6 +3865,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "txt_consent": (q_txt_consent, SQL_TXT_CONSENT),
     "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
     "robots_crawl_delay": (q_robots_crawl_delay, SQL_ROBOTS_CRAWL_DELAY),
+    "robots_sitemap_refs": (q_robots_sitemap_refs, SQL_ROBOTS_SITEMAP_REFS),
     "priority_queue": (q_priority_queue, SQL_PRIORITY_QUEUE),
     "epoch_days": (q_epoch_days, SQL_EPOCH_DAYS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),

@@ -198,3 +198,31 @@ def test_gate_plan_is_broadcast_no_shuffle(spark):
     # side of the executed plan must not
     frontier_side = plan.split("InMemoryRelation")[0]
     assert "Exchange hashpartitioning" not in frontier_side
+
+
+def test_sitemap_refs_global_case_dupes(spark):
+    """Sitemap records are global (before/inside/after groups), field is
+    case-insensitive, the URL value keeps case, duplicates collapse, and a
+    host with no Sitemap lines is absent."""
+    bodies = [
+        ("h0", "Sitemap: https://h0.test/a.xml\nUser-agent: *\nDisallow: /\n"),
+        (
+            "h1",
+            "User-agent: *\nDisallow: /x\n"
+            "SITEMAP: https://h1.test/B.xml\n"
+            "\tsitemap: https://h1.test/c.xml  # comment\n"
+            "sitemap: https://h1.test/c.xml\n",
+        ),
+        ("h2", "User-agent: *\nDisallow: /\n"),
+        ("h3", "Sitemap:\n"),  # empty value dropped
+    ]
+    df = spark.createDataFrame(bodies, ["hostname", "robots_txt"])
+    got = sorted(
+        (r["hostname"], r["sitemap_url"])
+        for r in R.parse_sitemap_refs(df).collect()
+    )
+    assert got == [
+        ("h0", "https://h0.test/a.xml"),
+        ("h1", "https://h1.test/B.xml"),
+        ("h1", "https://h1.test/c.xml"),
+    ]
