@@ -144,6 +144,9 @@ HEADLINE_QUERIES = [
     "bpe_pair_counts",
     # RFC 9111 revisit decisions: zero-shuffle scan-level projection
     "cache_policy",
+    # UNIMAX waterfill: exact-integer capped-uniform budget apportionment
+    # over the skew-proof ordered-prefix scan
+    "unimax_mixture",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -145,3 +145,62 @@ def two_phase_count(
     phase aggregates ≤S small rows per group."""
     partial = df.groupBy(*group_cols, salt_col).agg(F.count(F.lit(1)).alias("__partial"))
     return partial.groupBy(*group_cols).agg(F.sum("__partial").alias(count_col))
+
+
+def ordered_prefix(
+    df: DataFrame,
+    order_col: str | Sequence[str],
+    value_col: str,
+    rank_col: str = "ord_rank",
+    prefix_col: str = "ord_prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-proof GLOBAL (1-based rank, EXCLUSIVE running sum of
+    ``value_col``) in ascending ``order_col`` order — the scan/prefix
+    primitive (waterfilling thresholds, quantile splits over exact mass).
+
+    Same two-pass shape as :func:`ranked_by_host` with the whole frame as
+    one ordered sequence: range-partition by the order key (the parallel,
+    balanced sort), per-partition (count, sum) offsets — a ≤
+    ``num_partitions``-row table whose running totals cost one trivial
+    window — then local rank + local exclusive sum + broadcast offsets.
+    A plain ``row_number() over (order by k)`` would sort the whole frame
+    in ONE task; this never does.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    order_exprs = [F.col(c).asc() for c in order_cols]
+    ranged = df.repartitionByRange(num_partitions, *order_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    per_pid = ranged.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.coalesce(F.sum(value_col), F.lit(0)).cast("long").alias("__sum"),
+    )
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per_pid.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__roff"),
+        F.coalesce(F.sum("__sum").over(w_off), F.lit(0)).alias("__soff"),
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_exprs)
+    return (
+        ranged.withColumn("__lr", F.row_number().over(w))
+        .withColumn(
+            "__lp",
+            F.coalesce(
+                F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .join(F.broadcast(off), "__pid")
+        .withColumn(rank_col, (F.col("__lr") + F.col("__roff")).cast("long"))
+        .withColumn(prefix_col, (F.col("__lp") + F.col("__soff")).cast("long"))
+        .drop("__pid", "__lr", "__lp", "__roff", "__soff")
+    )

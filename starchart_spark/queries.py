@@ -1859,6 +1859,56 @@ def q_lm_score(spark, sf_dir):
     return lm.lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_unimax_mixture(spark, sf_dir):
+    """UNIMAX capped-uniform budget apportionment
+    (pqueue.waterfill_budget): an integer token/doc budget spreads evenly
+    across languages except no language exceeds its corpus size — capped
+    languages' unused share flows to the rest, exact-integer waterfilling.
+    total=352 exercises every branch across both gate scales: immediate
+    crossing + leftover extras at sf0.001; capped groups + mid-scan
+    crossing + extras at sf0.01. Feeds packing.mixture_sample as its
+    per-stratum target table."""
+    from starchart_spark.operators import pqueue
+
+    caps = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cap"))
+    )
+    return pqueue.waterfill_budget(caps, total=352)
+
+
+SQL_UNIMAX_MIXTURE = """
+WITH caps AS (
+  SELECT lang AS g, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang
+), o AS (
+  SELECT g, c,
+         row_number() OVER (ORDER BY c, g) AS j,
+         coalesce(sum(c) OVER (ORDER BY c, g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS P
+  FROM caps
+), d AS (
+  SELECT count(*) AS G, sum(c) AS S, max(c) AS cmax FROM caps
+), x AS (
+  SELECT (352 - o.P) // (d.G - o.j + 1) AS gt, o.j, o.c FROM o, d
+), tsel AS (
+  SELECT gt FROM x WHERE gt < c ORDER BY j LIMIT 1
+), t AS (
+  SELECT coalesce((SELECT gt FROM tsel), (SELECT cmax FROM d)) AS t
+), lvl AS (
+  SELECT g, c, least(c, t.t) AS lvl, c > t.t AS unc FROM caps, t
+), r AS (
+  SELECT 352 - sum(lvl) AS r FROM lvl
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY unc DESC, g) AS er FROM lvl
+)
+SELECT g AS lang,
+       CAST(lvl + CASE WHEN unc AND er <= r.r THEN 1 ELSE 0 END AS BIGINT)
+         AS budget
+FROM ranked, r
+"""
+
+
 def q_cache_policy(spark, sf_dir):
     """RFC 9111 revisit decisions (operators/cachectl.py): freshness from
     max-age or the §4.2.2 heuristic, no-store/no-cache opt-outs, validator
@@ -3911,6 +3961,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lm_kn_score": (q_lm_kn_score, SQL_LM_KN_SCORE),
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "cache_policy": (q_cache_policy, SQL_CACHE_POLICY),
+    "unimax_mixture": (q_unimax_mixture, SQL_UNIMAX_MIXTURE),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

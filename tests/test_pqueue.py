@@ -119,3 +119,71 @@ def test_allocate_budget_all_zero_weights(spark):
            for r in pqueue.allocate_budget(w, total=2).collect()}
     assert sum(out.values()) == 2
     assert out == {"a": 1, "m": 1, "z": 0}
+
+
+# -- waterfill_budget (UNIMAX capped-uniform apportionment) ------------------
+
+def _brute_waterfill(caps: dict, total: int) -> dict:
+    if not caps:
+        return {}
+    S = sum(caps.values())
+    if S <= total:
+        return dict(caps)
+    t = 0
+    while sum(min(c, t + 1) for c in caps.values()) <= total:
+        t += 1
+    out = {g: min(c, t) for g, c in caps.items()}
+    r = total - sum(out.values())
+    for g in sorted(g for g, c in caps.items() if c > t)[:r]:
+        out[g] += 1
+    return out
+
+
+def _waterfill(spark, caps: dict, total: int) -> dict:
+    df = spark.createDataFrame(list(caps.items()), "lang string, cap long")
+    rows = pqueue.waterfill_budget(df, total).collect()
+    return {r["lang"]: r["budget"] for r in rows}
+
+
+def test_waterfill_hand_case(spark):
+    # budget 10 over caps (en=100, fr=3, de=5): t=3 fills fr, level the
+    # rest: en/de get (10-3) div 2 = 3, remainder 1 -> de first? group-asc
+    # among uncapped (de, en): de gets +1? caps: de=5>3, en=100>3 -> both
+    # uncapped, extras to 'de' (asc) first.
+    got = _waterfill(spark, {"en": 100, "fr": 3, "de": 5}, 10)
+    assert got == {"fr": 3, "de": 4, "en": 3}
+    assert sum(got.values()) == 10
+
+
+def test_waterfill_budget_exceeds_corpus(spark):
+    caps = {"en": 4, "fr": 2}
+    got = _waterfill(spark, caps, 100)
+    assert got == caps  # everything fits; sum == min(total, sum(caps))
+
+
+def test_waterfill_randomized_vs_brute(spark):
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(12):
+        g = rnd.randint(1, 9)
+        caps = {f"l{i}": rnd.randint(0, 40) for i in range(g)}
+        total = rnd.randint(0, 250)
+        assert _waterfill(spark, caps, total) == _brute_waterfill(caps, total), (
+            caps,
+            total,
+        )
+
+
+def test_waterfill_partition_invariance(spark):
+    caps = {f"l{i}": (i * 13) % 29 for i in range(40)}
+    df1 = spark.createDataFrame(list(caps.items()), "lang string, cap long")
+    df2 = df1.repartition(17)
+    a = {r["lang"]: r["budget"] for r in pqueue.waterfill_budget(df1, 137).collect()}
+    b = {r["lang"]: r["budget"] for r in pqueue.waterfill_budget(df2, 137).collect()}
+    assert a == b == _brute_waterfill(caps, 137)
+
+
+def test_waterfill_negative_caps_clamp(spark):
+    got = _waterfill(spark, {"a": -5, "b": 10}, 7)
+    assert got == {"a": 0, "b": 7}
