@@ -147,6 +147,8 @@ HEADLINE_QUERIES = [
     # UNIMAX waterfill: exact-integer capped-uniform budget apportionment
     # over the skew-proof ordered-prefix scan
     "unimax_mixture",
+    # sitemap-driven re-crawl delta: parse + one URL-keyed ledger join
+    "sitemap_recrawl_delta",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -203,43 +203,64 @@ def hits(
 
     Plan per round: two rank⋈edges shuffles (one per direction), each max
     a 1-row broadcast cross join (no driver collect), ``localCheckpoint``
-    per half-round to truncate lineage. ``edges`` must be distinct pairs.
+    once per FULL round to truncate lineage. ``edges`` must be distinct
+    pairs.
+
+    Sparse-iteration form (the round-5 session-11 14s→ fix): zero-score
+    hosts contribute nothing to the next half-round's sum and cannot move
+    a nonnegative max, so the per-half-round zero-fill join against the
+    node dim is pure fixed overhead — iterations run on the SPARSE score
+    tables (hosts with in-/out-degree ≥ 1) and the zero-fill happens ONCE
+    at the end. Edges checkpoint once up front (the iteration body must
+    never re-run the upstream distinct). Identical results — pinned by
+    the unchanged DuckDB-oracle parity test, whose SQL still fills per
+    half-round.
     """
     if iters < 1:
         raise ValueError("hits needs iters >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    # hub scale only matters for hosts with outgoing edges; dst-only hosts
+    # never contribute to an auth sum, so the sparse init is equivalent
+    hub = (
         e.select(F.col("src").alias("host"))
-        .union(e.select(F.col("dst").alias("host")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .withColumn("hub_u", F.lit(scale).cast("long"))
     )
-    hub = nodes.withColumn("hub_u", F.lit(scale).cast("long"))
     auth = None
 
     def _half(scores: DataFrame, score_col: str, edge_in: str, edge_out: str, out_col: str) -> DataFrame:
         raw = (
             scores.join(e, scores["host"] == e[edge_in])
             .groupBy(F.col(edge_out).alias("host"))
-            .agg(F.sum(score_col).alias("raw"))
+            .agg(F.sum(score_col).cast("long").alias("raw"))
         )
-        filled = nodes.join(raw, "host", "left").select(
-            "host", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
-        )
-        mx = filled.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
-        return (
-            filled.crossJoin(F.broadcast(mx))
-            .select(
-                "host",
-                F.expr(f"(raw * {scale}) div mx").cast("long").alias(out_col),
-            )
-            .localCheckpoint(eager=True)
+        mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "host",
+            F.expr(f"(raw * {scale}) div mx").cast("long").alias(out_col),
         )
 
     for _ in range(iters):
         auth = _half(hub, "hub_u", "src", "dst", "auth_u")
-        hub = _half(auth, "auth_u", "dst", "src", "hub_u")
-    return hub.join(auth, "host")
+        hub = _half(auth, "auth_u", "dst", "src", "hub_u").localCheckpoint(
+            eager=True
+        )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    return (
+        nodes.join(hub, "host", "left")
+        .join(auth, "host", "left")
+        .select(
+            "host",
+            F.coalesce("hub_u", F.lit(0)).cast("long").alias("hub_u"),
+            F.coalesce("auth_u", F.lit(0)).cast("long").alias("auth_u"),
+        )
+    )
 
 
 def hits_sql(edges_cte: str, iters: int = 4, scale: int = HITS_SCALE) -> str:

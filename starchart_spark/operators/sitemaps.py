@@ -146,3 +146,48 @@ SELECT hostname, kind, loc,
 FROM fields
 WHERE length(loc) > 0
 """
+
+
+def recrawl_delta(
+    entries: DataFrame,
+    ledger: DataFrame,
+    loc_col: str = "loc",
+    lastmod_col: str = "lastmod_days",
+    fetched_col: str = "fetched_day",
+) -> DataFrame:
+    """Sitemap-driven re-crawl delta — fetch only what the host says
+    changed. Joins parsed url entries against the last-fetch ledger and
+    labels each loc:
+
+    - ``new``       — never fetched (absent from the ledger);
+    - ``updated``   — ``lastmod`` strictly after the recorded fetch day
+      (the host asserting staleness; trust it, it only costs a fetch);
+    - ``unchanged`` — fetched on/after lastmod, OR no lastmod hint at all
+      (absence proves nothing — those URLs stay with the change-rate TTL
+      scheduler, operators/recrawl.py, and the cache validator path,
+      operators/cachectl.py).
+
+    ONE equi-join on the URL key (planner broadcasts the smaller side);
+    callers filter ``status != 'unchanged'`` into the frontier. At 100 TB
+    the ledger side is the big one — it is the url_seen/visit ledger the
+    engine already bucket-partitions by host, and the join key carries
+    the hostname prefix, so co-location survives."""
+    led = ledger.select(
+        F.col(loc_col).alias(loc_col),
+        F.col(fetched_col).alias("__fetched"),
+    )
+    out = entries.join(led, loc_col, "left")
+    status = (
+        F.when(F.col("__fetched").isNull(), F.lit("new"))
+        .when(
+            F.col(lastmod_col).isNotNull()
+            & (F.col(lastmod_col) > F.col("__fetched")),
+            F.lit("updated"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return out.select(
+        *[c for c in entries.columns],
+        F.col("__fetched").alias(fetched_col),
+        status.alias("status"),
+    )

@@ -2804,6 +2804,44 @@ def _sql_sitemap_parse() -> str:
 SQL_SITEMAP_PARSE = _sql_sitemap_parse()
 
 
+def q_sitemap_recrawl_delta(spark, sf_dir):
+    """Sitemap-driven re-crawl delta (sitemaps.recrawl_delta): the parsed
+    urlset entries join the last-fetch ledger; locs label new / updated /
+    unchanged (no-lastmod entries stay unchanged — absence proves
+    nothing). The ledger derives deterministically from the same parse
+    (even-length locs fetched; fetch day = lastmod −1/0/+1 by len % 3, or
+    1000 when no lastmod) so all four label paths appear at gate scale."""
+    from starchart_spark.operators import sitemaps
+
+    urls = q_sitemap_parse(spark, sf_dir).filter(F.col("kind") == "url")
+    llen = F.length("loc")
+    ledger = urls.filter(llen % 2 == 0).select(
+        "loc",
+        F.when(
+            F.col("lastmod_days").isNull(), F.lit(1000)
+        ).otherwise(F.col("lastmod_days") + (llen % 3 - 1)).alias("fetched_day"),
+    )
+    return sitemaps.recrawl_delta(urls, ledger)
+
+
+SQL_SITEMAP_RECRAWL_DELTA = f"""
+WITH parsed AS ({SQL_SITEMAP_PARSE}),
+urls AS (SELECT * FROM parsed WHERE kind = 'url'),
+ledger AS (
+  SELECT loc,
+         CASE WHEN lastmod_days IS NULL THEN 1000
+              ELSE lastmod_days + (length(loc) % 3 - 1) END AS fetched_day
+  FROM urls WHERE length(loc) % 2 = 0
+)
+SELECT u.*, l.fetched_day,
+  CASE WHEN l.loc IS NULL THEN 'new'
+       WHEN u.lastmod_days IS NOT NULL AND u.lastmod_days > l.fetched_day
+         THEN 'updated'
+       ELSE 'unchanged' END AS status
+FROM urls u LEFT JOIN ledger l USING (loc)
+"""
+
+
 # three alias shapes of one resource per customer key: case+default-port+
 # userinfo noise, dot-segments, tracking/permuted query params
 _DEEP_URL_SQL = """CASE c_custkey % 3
@@ -3974,6 +4012,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "site_rollup": (q_site_rollup, SQL_SITE_ROLLUP),
     "anchor_terms": (q_anchor_terms, SQL_ANCHOR_TERMS),
     "sitemap_parse": (q_sitemap_parse, SQL_SITEMAP_PARSE),
+    "sitemap_recrawl_delta": (q_sitemap_recrawl_delta, SQL_SITEMAP_RECRAWL_DELTA),
     "deep_url_dedup": (q_deep_url_dedup, SQL_DEEP_URL_DEDUP),
     "redirect_resolve": (q_redirect_resolve, SQL_REDIRECT_RESOLVE),
     "dust_params": (q_dust_params, SQL_DUST_PARAMS),

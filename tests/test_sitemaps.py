@@ -84,3 +84,38 @@ def test_sql_oracle_parity(spark):
     )
     want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == want
+
+
+def test_recrawl_delta_statuses(spark):
+    """new / updated / unchanged / no-lastmod-is-unchanged semantics."""
+    from starchart_spark.operators import sitemaps as sm
+
+    entries = spark.createDataFrame(
+        [
+            ("h", "u/new", 100),
+            ("h", "u/updated", 100),
+            ("h", "u/same-day", 100),
+            ("h", "u/older", 100),
+            ("h", "u/no-hint", None),
+        ],
+        "hostname string, loc string, lastmod_days int",
+    )
+    ledger = spark.createDataFrame(
+        [
+            ("u/updated", 99),
+            ("u/same-day", 100),
+            ("u/older", 150),
+            ("u/no-hint", 1),
+        ],
+        "loc string, fetched_day int",
+    )
+    got = {
+        r["loc"]: (r["status"], r["fetched_day"])
+        for r in sm.recrawl_delta(entries, ledger).collect()
+    }
+    assert got["u/new"] == ("new", None)
+    assert got["u/updated"] == ("updated", 99)
+    assert got["u/same-day"] == ("unchanged", 100)
+    assert got["u/older"] == ("unchanged", 150)
+    # no lastmod: absence proves nothing, even with an ancient fetch
+    assert got["u/no-hint"] == ("unchanged", 1)
