@@ -149,6 +149,11 @@ HEADLINE_QUERIES = [
     "unimax_mixture",
     # sitemap-driven re-crawl delta: parse + one URL-keyed ledger join
     "sitemap_recrawl_delta",
+    # content-defined chunking dedup: one doc-keyed window pass + one
+    # chunk-key keep-first window
+    "cdc_dedup",
+    # positional-index phrase search: broadcast anchor join + one agg
+    "phrase_search",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

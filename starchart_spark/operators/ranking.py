@@ -107,3 +107,58 @@ def bm25_topk(
     TakeOrderedAndProject, no global sort."""
     scores = bm25_scores(df, query_terms, k1, b, text_col, id_col)
     return scores.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, tok, pos) — positional postings (1-based), ONE posexplode.
+    The positional extension of bm25_scores' tf postings: what phrase and
+    proximity queries consume."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.posexplode(toks).alias("__p0", "tok"))
+        .select(id_col, "tok", (F.col("__p0") + 1).alias("pos"))
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str] | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, start_pos) — every occurrence of the exact token phrase, the
+    classic positional-index anchor join (overlap-correct, unlike regex
+    replace counting: 'a a a' contains 'a a' TWICE):
+
+    - postings filter to the phrase vocabulary via a broadcast (idx, term)
+      dim — a k-term phrase keeps k rows per matching position, repeated
+      terms included;
+    - a posting for term idx at position p votes for anchor ``p − idx``;
+      a true occurrence at start s collects ALL k distinct idx votes at
+      anchor s — one (doc, anchor) aggregate decides.
+
+    ONE posexplode + ONE broadcast join + ONE aggregate; the shuffle
+    carries only phrase-vocabulary postings (web-scale: tiny unless the
+    phrase is all stopwords, the same caveat every positional index has).
+    """
+    terms = phrase.split() if isinstance(phrase, str) else list(phrase)
+    if not terms:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    k = len(terms)
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(terms)], "idx int, term string"
+    )
+    hits = positional_postings(df, id_col, text_col).join(
+        F.broadcast(dim), F.col("tok") == F.col("term")
+    )
+    return (
+        hits.select(id_col, (F.col("pos") - F.col("idx")).alias("start_pos"), "idx")
+        .groupBy(id_col, "start_pos")
+        .agg(F.count_distinct("idx").alias("__nidx"))
+        .filter((F.col("__nidx") == k) & (F.col("start_pos") >= 1))
+        .select(id_col, "start_pos")
+    )

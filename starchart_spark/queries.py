@@ -1859,6 +1859,115 @@ def q_lm_score(spark, sf_dir):
     return lm.lm_cross_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional-index phrase search (ranking.phrase_search): every
+    occurrence of the exact token phrase "the spark" via the anchor join —
+    postings filtered to the phrase vocabulary vote (pos − idx), a true
+    occurrence collects all k distinct idx votes. Overlap-correct where
+    regex replace counting is not."""
+    from starchart_spark.operators import ranking
+
+    return ranking.phrase_search(
+        _t(spark, sf_dir, "documents"), ["the", "spark"]
+    )
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id,
+         unnest([{'pos': i, 'tk': t[i]} FOR i IN range(1, len(t) + 1)],
+                recursive := true)
+  FROM base
+), dim AS (
+  SELECT * FROM (VALUES (0, 'the'), (1, 'spark')) AS v(idx, term)
+), hits AS (
+  SELECT doc_id, pos - idx AS start_pos, idx
+  FROM tok JOIN dim ON tk = term
+)
+SELECT doc_id, start_pos FROM hits
+GROUP BY doc_id, start_pos
+HAVING count(DISTINCT idx) = 2 AND start_pos >= 1
+"""
+
+
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup (operators/cdc.py, LBFS/FastCDC
+    boundaries at token granularity): per-doc chunk stats + keep-first
+    duplicate token mass, portable-hash mode so the oracle replays the
+    boundary rule integer-for-integer. k=3 gram windows, divisor 8 ⇒
+    ~8-token expected chunks over the gate corpus."""
+    from starchart_spark.operators import cdc
+
+    chunks = cdc.chunk_tokens(
+        _t(spark, sf_dir, "documents"), k=3, divisor=8, portable=True
+    )
+    return cdc.doc_dup_stats(chunks)
+
+
+def _sql_cdc_dedup() -> str:
+    from starchart_spark.operators.text import FP_MOD, FP_MULT
+
+    c0 = pow(FP_MULT, 2, FP_MOD)
+    c1 = FP_MULT
+    c2 = 1
+    return rf"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'tk': t[i]}} FOR i IN range(1, len(t) + 1)],
+                recursive := true)
+  FROM base
+), tv AS (
+  SELECT doc_id, pos, tk,
+         (length(tk) * 131 + coalesce(ascii(tk), 0) * 31
+          + coalesce(ascii(reverse(tk)), 0)) % {FP_MOD} AS v
+  FROM tok
+), gr AS (
+  SELECT doc_id, pos, tk,
+         ((v * {c0}) % {FP_MOD}
+          + (lead(v, 1) OVER w * {c1}) % {FP_MOD}
+          + (lead(v, 2) OVER w * {c2}) % {FP_MOD}) % {FP_MOD} AS gh,
+         lead(v, 2) OVER w IS NOT NULL AS complete
+  FROM tv WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), flg AS (
+  SELECT doc_id, pos, tk,
+         CASE WHEN pos > 1 AND complete AND gh % 8 = 0 THEN 1 ELSE 0 END
+           AS bnd
+  FROM gr
+), cid AS (
+  SELECT doc_id, pos, tk,
+         sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+  FROM flg
+), ch AS (
+  SELECT doc_id, chunk_id, min(pos) AS start_pos,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         string_agg(tk, ' ' ORDER BY pos) AS chunk_text
+  FROM cid GROUP BY doc_id, chunk_id
+), mk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_id)
+           > 1 AS is_dup
+  FROM ch
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS dup_tokens,
+       round(CAST(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END) AS BIGINT)
+             / CAST(sum(n_tokens) AS BIGINT), 6) AS dup_ratio
+FROM mk GROUP BY doc_id
+"""
+
+
+SQL_CDC_DEDUP = _sql_cdc_dedup()
+
+
 def q_unimax_mixture(spark, sf_dir):
     """UNIMAX capped-uniform budget apportionment
     (pqueue.waterfill_budget): an integer token/doc budget spreads evenly
@@ -4000,6 +4109,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     "cache_policy": (q_cache_policy, SQL_CACHE_POLICY),
     "unimax_mixture": (q_unimax_mixture, SQL_UNIMAX_MIXTURE),
+    "cdc_dedup": (q_cdc_dedup, SQL_CDC_DEDUP),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

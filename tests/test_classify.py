@@ -102,3 +102,36 @@ def test_deterministic_under_repartition(spark):
     a = sorted(map(tuple, classify.nb_classify(df, m1, c1).collect()))
     b = sorted(map(tuple, classify.nb_classify(df.repartition(11), m2, c2).collect()))
     assert a == b
+
+
+# -- positional phrase search (ranking.phrase_search) ------------------------
+
+def test_phrase_search_overlap_and_repeats(spark):
+    from starchart_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),          # 'a a' occurs TWICE (overlapping)
+            (2, "the cat the cat sat"),
+            (3, "cat the"),        # wrong order
+            (4, "the cat"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["start_pos"])
+        for r in ranking.phrase_search(docs, ["a", "a"]).collect()
+    )
+    assert got == [(1, 1), (1, 2)]
+    got2 = sorted(
+        (r["doc_id"], r["start_pos"])
+        for r in ranking.phrase_search(docs, "the cat").collect()
+    )
+    assert got2 == [(2, 1), (2, 3), (4, 1)]
+    # repeated-term 3-phrase: 'the cat the' only in doc 2 at pos 1
+    got3 = sorted(
+        (r["doc_id"], r["start_pos"])
+        for r in ranking.phrase_search(docs, "the cat the").collect()
+    )
+    assert got3 == [(2, 1)]
