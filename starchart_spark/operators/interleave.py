@@ -63,7 +63,11 @@ def media_text_pairs(
         F.col("span.offset").alias("offset"),
     )
     w = Window.partitionBy(doc_col).orderBy("offset", "pos")
-    text_only = F.when(F.col("kind") == "text", F.col("text"))
+    # context = any TEXT-BEARING span (the corpus interleaves kinds
+    # api_json/html/media — crawl/corpus.py; the struct contract is that
+    # text spans carry text and media spans carry media_ref, so nullness,
+    # not the kind label, decides which side of the pairing a span is on)
+    text_only = F.when(F.col("text").isNotNull(), F.col("text"))
     media_flag = F.when(F.col("kind") == "media", 1).otherwise(0)
     before = F.last(text_only, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -72,7 +76,7 @@ def media_text_pairs(
         w.rowsBetween(1, Window.unboundedFollowing)
     )
     n_text_before = F.sum(
-        F.when(F.col("kind") == "text", 1).otherwise(0)
+        F.when(F.col("text").isNotNull(), 1).otherwise(0)
     ).over(w.rowsBetween(Window.unboundedPreceding, -1))
     n_media = F.sum(media_flag).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -115,3 +115,28 @@ def test_single_exchange_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_pairs_over_real_crawl_corpus(spark):
+    """Over the ACTUAL interleaved corpus shape (crawl/corpus.py: api_json
+    page span, then per-repo <h1> html + avatar media): every avatar's
+    before_text is its own repo's <h1>, and media counts match the page."""
+    from starchart_spark.crawl.corpus import CorpusSpec, make_corpus
+    from starchart_spark.testing import corpus_to_spark
+
+    corpus = make_corpus(CorpusSpec(n_forges=1, repos_per_forge=6, page_size=3))
+    docs = corpus_to_spark(spark, corpus)["documents"]
+    pairs = interleave.media_text_pairs(docs).collect()
+    assert pairs  # avatars exist
+    for r in pairs:
+        assert r["media_ref"].endswith(".png")
+        # the avatar follows its repo's <h1> html span immediately
+        assert r["before_text"].startswith("<h1>") and r["before_text"].endswith("</h1>")
+        # n_text_before counts the api_json span plus one h1 per repo slot
+        # up to and including this avatar's own
+        assert r["n_text_before"] >= 2
+    by_doc = {}
+    for r in pairs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        assert all(r["n_media_in_doc"] == len(rows) for r in rows)
