@@ -154,6 +154,8 @@ HEADLINE_QUERIES = [
     "cdc_dedup",
     # positional-index phrase search: broadcast anchor join + one agg
     "phrase_search",
+    # RFC 9309 robots fetch-status semantics: zero-shuffle projection
+    "robots_refresh",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

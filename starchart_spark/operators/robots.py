@@ -306,3 +306,53 @@ def merge_crawl_delay(
         )
         .drop("crawl_delay_ms")
     )
+
+
+def refresh_policy(
+    states: DataFrame,
+    now_s: int,
+    max_age_s: int = 86_400,
+    host_col: str = "hostname",
+    status_col: str = "status",
+    fetched_col: str = "fetched_s",
+    has_rules_col: str = "has_rules",
+) -> DataFrame:
+    """RFC 9309 §2.3.1 / §2.4 robots.txt fetch-status semantics — the
+    part of the robots story the parser can't cover: what ACCESS the
+    crawler has per host given the last fetch's HTTP status and age.
+
+    Adds ``age_s``, ``decision`` (use_cached | refetch) and ``access``:
+
+    - 2xx → ``rules``      (parse and apply, the robots_gate path)
+    - 4xx → ``allow_all``  (§2.3.1.3: unavailable means UNRESTRICTED —
+      fail-open; the counterintuitive half people get wrong)
+    - 5xx / unreachable (status NULL or 0) → ``deny_all`` (§2.3.1.4:
+      MUST assume complete disallow — fail-closed) — UNLESS a previously
+      fetched rule set exists (``has_rules_col``), which §2.4 allows the
+      crawler to keep using while the server is unreachable
+      (``access = rules``, decision stays ``refetch`` so the transport
+      keeps retrying).
+    - 3xx is absent by construction: the transport resolves redirects
+      (≤5 hops, then treated as unreachable) BEFORE recording status —
+      operators/redirects.py owns chains; this table stores the terminal
+      status.
+
+    ``decision`` is ``use_cached`` while ``age < max_age_s`` (the §2.4
+    24 h MAY-cache), else ``refetch``. One codegen'd projection, zero
+    shuffles — composes with the consent gate and cachectl at the scan.
+    """
+    age = F.lit(int(now_s)) - F.col(fetched_col)
+    status = F.col(status_col)
+    reachable = status.isNotNull() & (status > 0)
+    access = (
+        F.when(reachable & (status >= 200) & (status < 300), F.lit("rules"))
+        .when(reachable & (status >= 400) & (status < 500), F.lit("allow_all"))
+        .when(F.col(has_rules_col), F.lit("rules"))
+        .otherwise(F.lit("deny_all"))
+    )
+    decision = F.when(
+        reachable & (age < F.lit(int(max_age_s))), F.lit("use_cached")
+    ).otherwise(F.lit("refetch"))
+    return states.select(
+        "*", age.alias("age_s"), decision.alias("decision"), access.alias("access")
+    )

@@ -2913,6 +2913,55 @@ def _sql_sitemap_parse() -> str:
 SQL_SITEMAP_PARSE = _sql_sitemap_parse()
 
 
+def q_robots_refresh(spark, sf_dir):
+    """RFC 9309 §2.3.1/§2.4 robots fetch-status semantics
+    (robots.refresh_policy): 2xx rules, 4xx fail-OPEN, 5xx/unreachable
+    fail-CLOSED with the cached-rules grace, 24 h cache window. States
+    synthesize from customer: status by key % 6 (incl. NULL and 0
+    unreachable forms), ages spanning the 86,400 s boundary, alternating
+    cached-rules flag — every (decision, access) pair appears."""
+    from starchart_spark.operators import robots as rob
+
+    k = F.col("c_custkey")
+    states = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("h"), k.cast("string")).alias("hostname"),
+        F.when(k % 6 == 0, F.lit(200))
+        .when(k % 6 == 1, F.lit(404))
+        .when(k % 6 == 2, F.lit(403))
+        .when(k % 6 == 3, F.lit(503))
+        .when(k % 6 == 4, F.lit(None).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("status"),
+        (F.lit(100_000) - (k % 2000) * 60).alias("fetched_s"),
+        (k % 2 == 0).alias("has_rules"),
+    )
+    return rob.refresh_policy(states, now_s=100_000)
+
+
+SQL_ROBOTS_REFRESH = """
+WITH states AS (
+  SELECT 'h' || c_custkey AS hostname,
+    CASE c_custkey % 6 WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 403
+                       WHEN 3 THEN 503 WHEN 4 THEN NULL ELSE 0 END AS status,
+    100000 - (c_custkey % 2000) * 60 AS fetched_s,
+    c_custkey % 2 = 0 AS has_rules
+  FROM customer
+)
+SELECT *,
+  100000 - fetched_s AS age_s,
+  CASE WHEN status IS NOT NULL AND status > 0
+            AND 100000 - fetched_s < 86400 THEN 'use_cached'
+       ELSE 'refetch' END AS decision,
+  CASE WHEN status IS NOT NULL AND status > 0
+            AND status >= 200 AND status < 300 THEN 'rules'
+       WHEN status IS NOT NULL AND status > 0
+            AND status >= 400 AND status < 500 THEN 'allow_all'
+       WHEN has_rules THEN 'rules'
+       ELSE 'deny_all' END AS access
+FROM states
+"""
+
+
 def q_sitemap_recrawl_delta(spark, sf_dir):
     """Sitemap-driven re-crawl delta (sitemaps.recrawl_delta): the parsed
     urlset entries join the last-fetch ledger; locs label new / updated /
@@ -4063,6 +4112,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "robots_gate": (q_robots_gate, SQL_ROBOTS_GATE),
     "robots_crawl_delay": (q_robots_crawl_delay, SQL_ROBOTS_CRAWL_DELAY),
     "robots_sitemap_refs": (q_robots_sitemap_refs, SQL_ROBOTS_SITEMAP_REFS),
+    "robots_refresh": (q_robots_refresh, SQL_ROBOTS_REFRESH),
     "priority_queue": (q_priority_queue, SQL_PRIORITY_QUEUE),
     "epoch_days": (q_epoch_days, SQL_EPOCH_DAYS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),

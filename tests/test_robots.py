@@ -226,3 +226,35 @@ def test_sitemap_refs_global_case_dupes(spark):
         ("h1", "https://h1.test/B.xml"),
         ("h1", "https://h1.test/c.xml"),
     ]
+
+
+def test_refresh_policy_status_semantics(spark):
+    """2xx rules / 4xx fail-OPEN / 5xx+unreachable fail-CLOSED with the
+    cached-rules grace; 24h cache window drives use_cached vs refetch."""
+    now = 100_000
+    rows = [
+        # host, status, fetched_s, has_rules
+        ("ok-fresh", 200, now - 100, True),
+        ("ok-stale", 200, now - 90_000, True),
+        ("gone", 404, now - 100, False),
+        ("forbidden", 403, now - 100, False),
+        ("err-no-cache", 503, now - 100, False),
+        ("err-cached", 500, now - 90_000, True),
+        ("unreachable", None, now - 100, False),
+        ("unreachable-cached", 0, now - 100, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "hostname string, status int, fetched_s long, has_rules boolean"
+    )
+    got = {
+        r["hostname"]: (r["decision"], r["access"])
+        for r in R.refresh_policy(df, now_s=now).collect()
+    }
+    assert got["ok-fresh"] == ("use_cached", "rules")
+    assert got["ok-stale"] == ("refetch", "rules")  # 90,000 s > the 24 h window
+    assert got["gone"] == ("use_cached", "allow_all")
+    assert got["forbidden"] == ("use_cached", "allow_all")
+    assert got["err-no-cache"] == ("use_cached", "deny_all")
+    assert got["err-cached"] == ("refetch", "rules")
+    assert got["unreachable"] == ("refetch", "deny_all")
+    assert got["unreachable-cached"] == ("refetch", "rules")
