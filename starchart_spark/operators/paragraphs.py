@@ -64,17 +64,24 @@ def chunk_paragraphs(
     The testdata documents are single-line token streams (no ``\\n``), so
     the registry query exercises the real paragraph-dedup plan through
     this deterministic chunker; a real corpus uses
-    :func:`split_paragraphs` instead. Same explode shape either way."""
+    :func:`split_paragraphs` instead. Same explode shape either way.
+
+    The token array materializes as a COLUMN before the transform: a
+    lambda capturing the raw split EXPRESSION re-runs the regex split
+    once per chunk (the O(tokens²) HOF re-eval trap, BENCH.md round 5 —
+    invisible on 40-token gate docs, ruinous on 10k-token real ones);
+    capturing a bound column reference is an O(1) field read."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n_chunks = F.ceil(F.size("__toks") / F.lit(float(chunk_tokens))).cast("int")
     paras = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(
-            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+            F.slice(F.col("__toks"), i * chunk_tokens + 1, chunk_tokens), " "
         ),
     )
     return (
-        df.select(F.col(id_col), F.posexplode(paras).alias("pidx", "para"))
+        base.select(F.col(id_col), F.posexplode(paras).alias("pidx", "para"))
         .filter(F.trim(F.col("para")) != "")
     )
 
