@@ -156,6 +156,8 @@ HEADLINE_QUERIES = [
     "phrase_search",
     # RFC 9309 robots fetch-status semantics: zero-shuffle projection
     "robots_refresh",
+    # per-host template stripping: two aggregates + broadcast anti-join
+    "host_template_strip",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -149,3 +149,73 @@ def paragraph_dedup(
         id_col=id_col,
         sep_out=sep_out,
     )
+
+
+def host_template_paragraphs(
+    paras: DataFrame,
+    min_share_1000: int = 500,
+    min_pages: int = 2,
+    host_col: str = "hostname",
+    id_col: str = "doc_id",
+    para_col: str = "para",
+) -> DataFrame:
+    """(hostname, para) — a HOST's template paragraphs: text appearing on
+    at least ``min_share_1000``/1000 of that host's pages (and on ≥
+    ``min_pages`` absolutely). This is the nav/footer/sidebar cut a
+    text-extraction pipeline makes BEFORE corpus-global dedup: a site
+    template repeats on one host's every page but may be globally rare,
+    so :func:`frequent_paragraphs`' corpus-wide document frequency never
+    sees it at real corpus scale.
+
+    Share compares in exact integer milli-units (``df·1000 ≥
+    share·pages`` — no float ratio, engine-identical). Two aggregates +
+    one broadcast host-dim join; the result dim is per-host-template-
+    sized, made for a broadcast anti-join downstream."""
+    pages = paras.groupBy(host_col).agg(
+        F.count_distinct(F.col(id_col)).alias("__pages")
+    )
+    df_host = paras.groupBy(host_col, para_col).agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    return (
+        df_host.join(F.broadcast(pages), host_col)
+        .filter(
+            (F.col("__df") >= min_pages)
+            & (F.col("__df") * 1000 >= F.lit(int(min_share_1000)) * F.col("__pages"))
+        )
+        .select(host_col, para_col)
+    )
+
+
+def strip_host_template(
+    paras: DataFrame,
+    min_share_1000: int = 500,
+    min_pages: int = 2,
+    host_col: str = "hostname",
+    id_col: str = "doc_id",
+    para_col: str = "para",
+    sep_out: str = "\n",
+) -> DataFrame:
+    """``(hostname, id, clean_text)`` — per-host template paragraphs cut,
+    remainder rejoined in original order (the remove_frequent_paragraphs
+    reassembly, anti-joined on (host, para) instead of para alone so one
+    host's template never censors another host's genuine content)."""
+    tmpl = host_template_paragraphs(
+        paras, min_share_1000, min_pages, host_col, id_col, para_col
+    )
+    kept = paras.join(F.broadcast(tmpl), [host_col, para_col], "left_anti")
+    rebuilt = kept.groupBy(host_col, id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", para_col))),
+                lambda s: s[para_col],
+            ),
+            sep_out,
+        ).alias("clean_text")
+    )
+    all_ids = paras.select(host_col, id_col).distinct()
+    return all_ids.join(rebuilt, [host_col, id_col], "left").select(
+        host_col,
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

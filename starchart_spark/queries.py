@@ -2913,6 +2913,82 @@ def _sql_sitemap_parse() -> str:
 SQL_SITEMAP_PARSE = _sql_sitemap_parse()
 
 
+def q_host_template_strip(spark, sf_dir):
+    """Per-host template stripping (paragraphs.host_template_paragraphs /
+    strip_host_template): a site's nav repeats on EVERY page of its host
+    but is globally rare, so corpus-wide document frequency never sees it
+    — the cut is host-local (df·1000 ≥ share·pages in exact milli-units).
+    Paragraph rows synthesize per doc: a host-wide NAV (templates out), a
+    unique body slice (survives), and a 1-in-3 PROMO (33% < the 50%
+    share floor — survives)."""
+    from starchart_spark.operators import paragraphs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+            "hostname"
+        ),
+        F.expr("substring(text, 1, 40)").alias("body"),
+    )
+    paras = (
+        d.select(
+            "hostname", "doc_id", F.lit(0).alias("pidx"),
+            F.concat(F.lit("NAV of "), F.col("hostname")).alias("para"),
+        )
+        .unionByName(
+            d.select(
+                "hostname", "doc_id", F.lit(1).alias("pidx"),
+                F.col("body").alias("para"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                "hostname", "doc_id", F.lit(2).alias("pidx"),
+                F.lit("PROMO banner").alias("para"),
+            )
+        )
+        .filter(F.trim(F.col("para")) != "")
+    )
+    return paragraphs.strip_host_template(paras)
+
+
+SQL_HOST_TEMPLATE_STRIP = """
+WITH d AS (
+  SELECT doc_id, 'h' || (doc_id % 7) AS hostname,
+         substr(text, 1, 40) AS body
+  FROM documents
+), paras AS (
+  SELECT hostname, doc_id, 0 AS pidx, 'NAV of ' || hostname AS para FROM d
+  UNION ALL
+  SELECT hostname, doc_id, 1, body FROM d
+  UNION ALL
+  SELECT hostname, doc_id, 2, 'PROMO banner' FROM d WHERE doc_id % 3 = 0
+), paras_nb AS (
+  SELECT * FROM paras WHERE trim(para) <> ''
+), pages AS (
+  SELECT hostname, count(DISTINCT doc_id) AS pages FROM paras_nb GROUP BY 1
+), dfh AS (
+  SELECT hostname, para, count(DISTINCT doc_id) AS df
+  FROM paras_nb GROUP BY 1, 2
+), tmpl AS (
+  SELECT d.hostname, d.para
+  FROM dfh d JOIN pages p USING (hostname)
+  WHERE d.df >= 2 AND d.df * 1000 >= 500 * p.pages
+), kept AS (
+  SELECT pn.* FROM paras_nb pn
+  LEFT JOIN tmpl t ON pn.hostname = t.hostname AND pn.para = t.para
+  WHERE t.para IS NULL
+), rebuilt AS (
+  SELECT hostname, doc_id,
+         string_agg(para, chr(10) ORDER BY pidx) AS clean_text
+  FROM kept GROUP BY hostname, doc_id
+)
+SELECT a.hostname, a.doc_id, coalesce(r.clean_text, '') AS clean_text
+FROM (SELECT DISTINCT hostname, doc_id FROM paras_nb) a
+LEFT JOIN rebuilt r USING (hostname, doc_id)
+"""
+
+
 def q_robots_refresh(spark, sf_dir):
     """RFC 9309 §2.3.1/§2.4 robots fetch-status semantics
     (robots.refresh_policy): 2xx rules, 4xx fail-OPEN, 5xx/unreachable
@@ -4113,6 +4189,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "robots_crawl_delay": (q_robots_crawl_delay, SQL_ROBOTS_CRAWL_DELAY),
     "robots_sitemap_refs": (q_robots_sitemap_refs, SQL_ROBOTS_SITEMAP_REFS),
     "robots_refresh": (q_robots_refresh, SQL_ROBOTS_REFRESH),
+    "host_template_strip": (q_host_template_strip, SQL_HOST_TEMPLATE_STRIP),
     "priority_queue": (q_priority_queue, SQL_PRIORITY_QUEUE),
     "epoch_days": (q_epoch_days, SQL_EPOCH_DAYS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),

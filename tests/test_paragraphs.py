@@ -93,3 +93,64 @@ def test_frequent_set_is_broadcast_and_partition_invariant(spark):
     )
     assert a == b
     assert all(t == f"uniq {i}" for i, t in a)
+
+
+def test_host_template_strip_is_host_local(spark):
+    """A host's 100%-share nav strips from ITS pages only; the same text
+    on a single page of another host survives (host-local anti-join)."""
+    from starchart_spark.operators import paragraphs as P
+
+    rows = [
+        # host a: NAV on both pages (template), unique bodies
+        ("a", 1, 0, "NAV"), ("a", 1, 1, "body one"),
+        ("a", 2, 0, "NAV"), ("a", 2, 1, "body two"),
+        # host b: NAV on 1 of 3 pages (33% < 50% share) -> content there
+        ("b", 3, 0, "NAV"), ("b", 3, 1, "essay"),
+        ("b", 4, 0, "other"), ("b", 5, 0, "more"),
+    ]
+    paras = spark.createDataFrame(
+        rows, "hostname string, doc_id long, pidx int, para string"
+    )
+    tmpl = {
+        (r["hostname"], r["para"])
+        for r in P.host_template_paragraphs(paras).collect()
+    }
+    assert tmpl == {("a", "NAV")}
+    got = {
+        (r["hostname"], r["doc_id"]): r["clean_text"]
+        for r in P.strip_host_template(paras).collect()
+    }
+    assert got[("a", 1)] == "body one"
+    assert got[("a", 2)] == "body two"
+    assert got[("b", 3)] == "NAV\nessay"  # survives on host b
+    assert got[("b", 4)] == "other"
+
+
+def test_host_template_all_template_page_comes_back_empty(spark):
+    from starchart_spark.operators import paragraphs as P
+
+    rows = [
+        ("a", 1, 0, "NAV"), ("a", 1, 1, "body"),
+        ("a", 2, 0, "NAV"),  # page 2 is pure template
+    ]
+    paras = spark.createDataFrame(
+        rows, "hostname string, doc_id long, pidx int, para string"
+    )
+    got = {
+        (r["hostname"], r["doc_id"]): r["clean_text"]
+        for r in P.strip_host_template(paras).collect()
+    }
+    assert got[("a", 2)] == ""
+    assert got[("a", 1)] == "body"
+
+
+def test_host_template_min_pages_floor(spark):
+    """A single-page host never templates (min_pages=2 floor), even at
+    100% share."""
+    from starchart_spark.operators import paragraphs as P
+
+    paras = spark.createDataFrame(
+        [("solo", 1, 0, "only page text")],
+        "hostname string, doc_id long, pidx int, para string",
+    )
+    assert P.host_template_paragraphs(paras).count() == 0
