@@ -158,6 +158,8 @@ HEADLINE_QUERIES = [
     "robots_refresh",
     # per-host template stripping: two aggregates + broadcast anti-join
     "host_template_strip",
+    # multimodal packing costs: one explode + one doc-keyed aggregate
+    "multimodal_budget",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -95,3 +95,48 @@ def media_text_pairs(
         .filter(F.col("kind") == "media")
         .drop("kind")
     )
+
+
+def multimodal_token_costs(
+    docs: DataFrame,
+    media_token_cost: int = 64,
+    doc_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """(doc_id, n_text_tokens, n_media, mm_tokens) — the sequence-packing
+    cost of an interleaved document: whitespace tokens over its text
+    spans plus a FIXED per-media token budget (what vision encoders emit
+    per image — e.g. 64/256 patch tokens — is a constant of the model,
+    not the payload, so the cost is known before any decode). Feed
+    ``mm_tokens`` to the packer in place of plain text counts; documents
+    whose media alone exceed the context length surface here (mm_tokens
+    vs context_len is the caller's drop/split decision).
+
+    ONE explode + ONE doc-keyed hash aggregate (map-side partials); no
+    window, no Python."""
+    from starchart_spark.operators import text as text_ops
+
+    spans = docs.select(
+        F.col(doc_col), F.explode(spans_col).alias("span")
+    ).select(
+        doc_col,
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+    )
+    n_text = F.sum(
+        F.when(
+            F.col("text").isNotNull(), text_ops.token_count(F.col("text"))
+        ).otherwise(0)
+    ).cast("long")
+    n_media = F.sum(
+        F.when(F.col("kind") == "media", 1).otherwise(0)
+    ).cast("long")
+    return (
+        spans.groupBy(doc_col)
+        .agg(n_text.alias("n_text_tokens"), n_media.alias("n_media"))
+        .withColumn(
+            "mm_tokens",
+            F.col("n_text_tokens")
+            + F.col("n_media") * F.lit(int(media_token_cost)),
+        )
+    )

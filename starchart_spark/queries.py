@@ -3484,16 +3484,11 @@ WHERE s.media_ref IS NULL
 """
 
 
-def q_interleave_pairs(spark, sf_dir):
-    """OBELICS/MMC4-style media↔text context pairing over interleaved span
-    docs (operators/interleave.py): per media span, the nearest preceding
-    and following text spans plus position signals — one explode + one
-    doc-keyed window exchange. Spans synthesize deterministically from
-    documents in three layouts (doc_id % 3): media-FIRST (NULL
-    before_text), media-LAST (NULL after_text), and single-media-between
-    — so the gate verifies both boundary semantics and the interior case."""
-    from starchart_spark.operators import interleave
-
+def _interleave_spans_df(spark, sf_dir):
+    """Deterministic interleaved span docs from documents, three layouts
+    by doc_id % 3: media-FIRST (NULL before_text), media-LAST (NULL
+    after_text), single-media-between. Shared by interleave_pairs and
+    multimodal_budget so their oracles replay ONE synthesis."""
     docs = _t(spark, sf_dir, "documents")
     t1 = F.expr("substring(text, 1, cast(floor(n_chars / 2) as int))")
     t2 = F.expr("substring(text, cast(floor(n_chars / 2) as int) + 1)")
@@ -3546,9 +3541,19 @@ def q_interleave_pairs(spark, sf_dir):
             F.array(text_span(t1, 0), text_span(t2, 1), media_span(ref1, 2))
         )
     )
-    return interleave.media_text_pairs(
-        docs.select("doc_id", spans.alias("spans"))
-    )
+    return docs.select("doc_id", spans.alias("spans"))
+
+
+def q_interleave_pairs(spark, sf_dir):
+    """OBELICS/MMC4-style media↔text context pairing over interleaved span
+    docs (operators/interleave.py): per media span, the nearest preceding
+    and following text spans plus position signals — one explode + one
+    doc-keyed window exchange. The shared three-layout synthesis
+    (_interleave_spans_df) verifies both boundary semantics and the
+    interior case."""
+    from starchart_spark.operators import interleave
+
+    return interleave.media_text_pairs(_interleave_spans_df(spark, sf_dir))
 
 
 SQL_INTERLEAVE_PAIRS = r"""
@@ -3594,6 +3599,57 @@ WITH d AS (
 SELECT doc_id, media_ref, "offset", before_text, after_text,
        n_text_before, n_media_in_doc
 FROM ctx WHERE kind = 'media'
+"""
+
+
+def q_multimodal_budget(spark, sf_dir):
+    """Sequence-packing cost of interleaved docs
+    (interleave.multimodal_token_costs): text tokens + 64 per media span
+    (vision-encoder patch-token budgets are a model constant, known
+    before any decode). Same three span layouts as interleave_pairs."""
+    from starchart_spark.operators import interleave
+
+    docs = _interleave_spans_df(spark, sf_dir)
+    return interleave.multimodal_token_costs(docs, media_token_cost=64)
+
+
+SQL_MULTIMODAL_BUDGET = r"""
+WITH d AS (
+  SELECT doc_id,
+    substr(text, 1, CAST(floor(n_chars / 2) AS INT)) AS t1,
+    substr(text, CAST(floor(n_chars / 2) AS INT) + 1) AS t2,
+    'https://cdn' || (doc_id % 5) || '.test/img/' || (doc_id % 40) || '.'
+      || (CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'mp4' ELSE 'bin' END)
+      AS ref1,
+    'https://forge' || (doc_id % 7) || '.test/avatars/u' || (doc_id % 175)
+      || '.png' AS ref2
+  FROM documents
+), spans AS (
+  SELECT doc_id, 'media' AS kind, NULL AS text FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 'text', t1 FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 'media', NULL FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 'text', t2 FROM d WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id, 'text', t1 FROM d WHERE doc_id % 3 = 1
+  UNION ALL SELECT doc_id, 'media', NULL FROM d WHERE doc_id % 3 = 1
+  UNION ALL SELECT doc_id, 'text', t2 FROM d WHERE doc_id % 3 = 1
+  UNION ALL SELECT doc_id, 'media', NULL FROM d WHERE doc_id % 3 = 1
+  UNION ALL SELECT doc_id, 'text', t1 FROM d WHERE doc_id % 3 = 2
+  UNION ALL SELECT doc_id, 'text', t2 FROM d WHERE doc_id % 3 = 2
+  UNION ALL SELECT doc_id, 'media', NULL FROM d WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+  CAST(sum(CASE WHEN text IS NOT NULL THEN
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+    ELSE 0 END) AS BIGINT) AS n_text_tokens,
+  CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media,
+  CAST(sum(CASE WHEN text IS NOT NULL THEN
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+    ELSE 0 END)
+   + 64 * sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT)
+    AS mm_tokens
+FROM spans GROUP BY doc_id
 """
 
 
@@ -4259,6 +4315,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "trap_filter": (q_trap_filter, SQL_TRAP_FILTER),
     "media_frontier": (q_media_frontier, SQL_MEDIA_FRONTIER),
     "interleave_pairs": (q_interleave_pairs, SQL_INTERLEAVE_PAIRS),
+    "multimodal_budget": (q_multimodal_budget, SQL_MULTIMODAL_BUDGET),
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),

@@ -140,3 +140,22 @@ def test_pairs_over_real_crawl_corpus(spark):
         by_doc.setdefault(r["doc_id"], []).append(r)
     for doc_id, rows in by_doc.items():
         assert all(r["n_media_in_doc"] == len(rows) for r in rows)
+
+
+def test_multimodal_token_costs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, [_span("text", text="a b c", off=0), _span("media", ref="m", off=1),
+                 _span("text", text="d e", off=2), _span("media", ref="n", off=3)]),
+            (2, [_span("media", ref="x", off=0)]),
+            (3, [_span("text", text="  ", off=0)]),  # blank text counts 0
+        ],
+        SPAN_SCHEMA,
+    )
+    got = {
+        r["doc_id"]: (r["n_text_tokens"], r["n_media"], r["mm_tokens"])
+        for r in interleave.multimodal_token_costs(docs, media_token_cost=64).collect()
+    }
+    assert got[1] == (5, 2, 5 + 128)
+    assert got[2] == (0, 1, 64)
+    assert got[3] == (0, 0, 0)
