@@ -160,6 +160,8 @@ HEADLINE_QUERIES = [
     "host_template_strip",
     # multimodal packing costs: one explode + one doc-keyed aggregate
     "multimodal_budget",
+    # NEAR/k proximity: k conditional running-max columns, one exchange
+    "proximity_search",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -162,3 +162,60 @@ def phrase_search(
         .filter((F.col("__nidx") == k) & (F.col("start_pos") >= 1))
         .select(id_col, "start_pos")
     )
+
+
+def proximity_search(
+    df: DataFrame,
+    terms: list[str] | str,
+    window: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, best_span) — docs where ALL ``terms`` co-occur within a token
+    window of ≤ ``window`` (the NEAR/k operator beside phrase_search's
+    exact adjacency; ``best_span`` is the doc's tightest such window in
+    tokens, inclusive).
+
+    The classic minimal-window sweep, relationally: postings filter to
+    the query vocabulary (broadcast dim), then per doc in position order
+    each hit carries a CONDITIONAL RUNNING MAX per term (the latest
+    position of that term at-or-before here — k window columns over ONE
+    doc-keyed sort exchange); the window ending at this hit spans
+    ``pos − least(latest_1..k) + 1``, and the per-doc MIN of that is the
+    tightest co-occurrence. Duplicate query terms collapse (NEAR
+    semantics need each DISTINCT term once).
+    """
+    from pyspark.sql import Window as W
+
+    tlist = sorted(set(terms.split() if isinstance(terms, str) else terms))
+    if not tlist:
+        raise ValueError("proximity_search needs a non-empty term set")
+    hits = positional_postings(df, id_col, text_col).filter(
+        F.col("tok").isin(tlist)
+    )
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    latest = [
+        F.max(F.when(F.col("tok") == t, F.col("pos"))).over(w).alias(f"__l{i}")
+        for i, t in enumerate(tlist)
+    ]
+    # NB: least() SKIPS nulls (returns null only when all args are) — the
+    # span must gate on every term having appeared, or the first hit of
+    # any doc scores a bogus span of 1
+    cols = [F.col(f"__l{i}") for i in range(len(tlist))]
+    all_seen = cols[0].isNotNull()
+    for c in cols[1:]:
+        all_seen = all_seen & c.isNotNull()
+    spanned = hits.select(id_col, "pos", *latest).withColumn(
+        "__span",
+        F.when(all_seen, F.col("pos") - F.least(*cols) + 1),
+    )
+    return (
+        spanned.filter(F.col("__span").isNotNull())
+        .groupBy(id_col)
+        .agg(F.min("__span").alias("best_span"))
+        .filter(F.col("best_span") <= window)
+    )

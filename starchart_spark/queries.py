@@ -1893,6 +1893,48 @@ HAVING count(DISTINCT idx) = 2 AND start_pos >= 1
 """
 
 
+def q_proximity_search(spark, sf_dir):
+    """NEAR/k proximity retrieval (ranking.proximity_search): docs where
+    'the' and 'spark' co-occur within ≤ 6 tokens, plus the tightest
+    window — the minimal-window sweep as k conditional running-max
+    columns over one doc-keyed sort exchange."""
+    from starchart_spark.operators import ranking
+
+    return ranking.proximity_search(
+        _t(spark, sf_dir, "documents"), ["the", "spark"], window=6
+    )
+
+
+SQL_PROXIMITY_SEARCH = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(text) <> ''
+), tok AS (
+  SELECT doc_id,
+         unnest([{'pos': i, 'tk': t[i]} FOR i IN range(1, len(t) + 1)],
+                recursive := true)
+  FROM base
+), hits AS (
+  SELECT doc_id, pos, tk FROM tok WHERE tk IN ('spark', 'the')
+), lat AS (
+  SELECT doc_id, pos,
+         max(CASE WHEN tk = 'spark' THEN pos END) OVER w AS l0,
+         max(CASE WHEN tk = 'the' THEN pos END) OVER w AS l1
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN l0 IS NOT NULL AND l1 IS NOT NULL
+              THEN pos - least(l0, l1) + 1 END AS span
+  FROM lat
+)
+SELECT doc_id, min(span) AS best_span
+FROM sp WHERE span IS NOT NULL
+GROUP BY doc_id HAVING min(span) <= 6
+"""
+
+
 def q_cdc_dedup(spark, sf_dir):
     """Content-defined chunking dedup (operators/cdc.py, LBFS/FastCDC
     boundaries at token granularity): per-doc chunk stats + keep-first
@@ -4294,6 +4336,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "unimax_mixture": (q_unimax_mixture, SQL_UNIMAX_MIXTURE),
     "cdc_dedup": (q_cdc_dedup, SQL_CDC_DEDUP),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),

@@ -135,3 +135,34 @@ def test_phrase_search_overlap_and_repeats(spark):
         for r in ranking.phrase_search(docs, "the cat the").collect()
     )
     assert got3 == [(2, 1)]
+
+
+def test_proximity_search_minimal_window(spark):
+    from starchart_spark.operators import ranking
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark x x x the"),        # span 5
+            (2, "the x spark"),            # span 3 (order-insensitive)
+            (3, "the x x x x x spark x the spark"),  # tightest span 2 at the end
+            (4, "the the the"),            # missing 'spark'
+            (5, "spark"),                  # missing 'the'
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["best_span"]
+        for r in ranking.proximity_search(docs, ["the", "spark"], window=5).collect()
+    }
+    assert got == {1: 5, 2: 3, 3: 2}
+    tight = {
+        r["doc_id"]: r["best_span"]
+        for r in ranking.proximity_search(docs, ["the", "spark"], window=2).collect()
+    }
+    assert tight == {3: 2}
+    # duplicate query terms collapse to the distinct set
+    dup = {
+        r["doc_id"]: r["best_span"]
+        for r in ranking.proximity_search(docs, ["the", "the", "spark"], window=5).collect()
+    }
+    assert dup == got
