@@ -131,3 +131,94 @@ def mixture_sample(
         .filter(sampling.selector(id_col, salt) < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_tokens: int = 1_000_000,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture reweighting: per-stratum sampling
+    probabilities ``p_i ∝ (total_tokens_i)^alpha`` and the acceptance
+    rates that realize them under a global token budget —
+    ``(strata, total_tokens, p, target_tokens, rate)``.
+
+    This is the multilingual up/down-sampling rule from the public
+    pretraining literature (Arivazhagan et al. 2019 temperature sampling,
+    T = 1/alpha; XLM-R uses alpha = 0.3, mT5 alpha = 0.3, CCNet/XLM
+    alpha ≈ 0.5-0.7): raw web-language mass is power-law skewed, and
+    exponentiating the shares by ``alpha < 1`` flattens the mixture so
+    tail languages are not drowned. ``mixture_rates`` above is the
+    absolute-budget variant (you dictate per-stratum tokens);
+    ``temperature_rates`` derives the per-stratum targets from ONE global
+    budget and the corpus's own distribution.
+
+    Determinism discipline: ``alpha = 0.5`` routes through ``sqrt`` —
+    IEEE-754 correctly rounded in every engine, unlike ``pow`` whose last
+    ulp is libm-specific — and ``p``/``rate`` are rounded to 6 decimals
+    before they are emitted. ``target_tokens`` is recovered by rounding
+    ``budget · p₆`` to the nearest integer: since ``p₆`` has 6 decimals
+    the product is mathematically an integer whenever ``budget`` is a
+    multiple of 10^6, so nearest-integer rounding erases the float
+    representation error that a floor would trip over at integer
+    boundaries. Shape: one hash aggregate + a strata-sized window — the
+    output is a broadcast dim however large the corpus.
+    """
+    totals = df.groupBy(F.col(strata_col).alias("strata")).agg(
+        F.sum(text.token_count(F.col(text_col)).cast("long")).alias(
+            "total_tokens"
+        )
+    )
+    if alpha == 0.5:
+        w = F.sqrt(F.col("total_tokens").cast("double"))
+    else:
+        w = F.pow(F.col("total_tokens").cast("double"), float(alpha))
+    weighted = totals.select("strata", "total_tokens", w.alias("__w"))
+    p6 = F.round(
+        F.col("__w") / F.sum("__w").over(Window.partitionBy()), 6
+    )
+    target = F.round(p6 * F.lit(int(budget_tokens)), 0).cast("long")
+    rate = F.when(F.col("total_tokens") <= 0, F.lit(0.0)).otherwise(
+        F.least(
+            F.lit(1.0), target.cast("double") / F.col("total_tokens")
+        )
+    )
+    return weighted.select(
+        "strata",
+        "total_tokens",
+        p6.alias("p"),
+        target.alias("target_tokens"),
+        F.round(rate, 6).alias("rate"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_tokens: int = 1_000_000,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministically sample ``df`` to the temperature-flattened
+    mixture: rates from :func:`temperature_rates`, acceptance via the
+    Fibonacci-Weyl selector (same contract as ``mixture_sample`` — two
+    scans, one broadcast join, partition-invariant, replayable). The
+    expected sampled token mass per stratum is
+    ``min(budget · p, total)``; up-sampling (p demanding MORE than a
+    stratum has) saturates at rate 1 — epoch repetition is the packer's
+    job, not the sampler's."""
+    rates = temperature_rates(
+        df, alpha, budget_tokens, strata_col, text_col
+    ).select(
+        F.col("strata").alias(strata_col),
+        (F.col("rate") * sampling.P31).cast("long").alias("__thresh"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(sampling.selector(id_col, salt) < F.col("__thresh"))
+        .drop("__thresh")
+    )

@@ -4256,6 +4256,91 @@ FROM per_host p LEFT JOIN fails f ON p.hostname = f.hostname
 """
 
 
+def q_aimd_rate(spark, sf_dir):
+    """Per-host AIMD crawl-rate controller (operators/aimd.py, Chiu &
+    Jain 1989): additive increase on success, floor-halving on failure,
+    folded over a synthesized fetch-attempt log with JVM higher-order
+    functions — exact integers end to end, replayed in the oracle via
+    DuckDB's list_reduce."""
+    from starchart_spark.operators import aimd
+
+    attempts = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "hostname"
+        ),
+        F.col("event_id").alias("ts"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    return aimd.aimd_rates(
+        attempts, r0_mu=1_000, add_mu=50, min_mu=10, max_mu=10_000
+    )
+
+
+SQL_AIMD_RATE = """
+WITH a AS (
+  SELECT 'h' || (user_id % 20) AS hostname, event_id AS ts,
+         CASE WHEN event_type <> 'error' THEN CAST(50 AS BIGINT)
+              ELSE CAST(-1 AS BIGINT) END AS step
+  FROM events
+),
+agg AS (
+  SELECT hostname, COUNT(*) AS n_attempts,
+         CAST(SUM(CASE WHEN step < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fails,
+         list(step ORDER BY ts) AS steps
+  FROM a GROUP BY hostname
+),
+folded AS (
+  SELECT hostname, n_attempts, n_fails,
+         list_reduce(list_prepend(CAST(1000 AS BIGINT), steps),
+           (acc, x) -> CASE WHEN x >= 0 THEN acc + x ELSE acc // 2 END)
+           AS rate_mu
+  FROM agg
+)
+SELECT hostname, n_attempts, n_fails, rate_mu,
+       CAST(least(greatest(rate_mu, 10), 10000) AS BIGINT) AS applied_mu
+FROM folded
+"""
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-flattened language mixture (packing.temperature_rates,
+    Arivazhagan et al. 2019 / XLM-R style, alpha=0.5 so the weight is an
+    IEEE-exact sqrt): one corpus aggregate, one strata-sized window —
+    p ∝ total_tokens^0.5, integer targets from a 1M-token global budget."""
+    from starchart_spark.operators import packing
+
+    return packing.temperature_rates(
+        _t(spark, sf_dir, "documents"),
+        alpha=0.5,
+        budget_tokens=1_000_000,
+        strata_col="lang",
+    )
+
+
+SQL_TEMPERATURE_MIXTURE = r"""
+WITH tok AS (
+  SELECT lang AS strata,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT strata, sum(n_tokens) AS total_tokens FROM tok GROUP BY strata
+), w AS (
+  SELECT strata, total_tokens, sqrt(CAST(total_tokens AS DOUBLE)) AS w
+  FROM tot
+), pp AS (
+  SELECT strata, total_tokens, round(w / sum(w) OVER (), 6) AS p FROM w
+)
+SELECT strata, total_tokens, p,
+       CAST(round(p * 1000000, 0) AS BIGINT) AS target_tokens,
+       round(CASE WHEN total_tokens <= 0 THEN 0.0
+             ELSE least(1.0, CAST(round(p * 1000000, 0) AS BIGINT) * 1.0
+                             / total_tokens) END, 6) AS rate
+FROM pp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4324,6 +4409,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
@@ -4370,6 +4456,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "shuffle_positions": (q_shuffle_positions, SQL_SHUFFLE_POSITIONS),
     "latency_quantiles": (q_latency_quantiles, SQL_LATENCY_QUANTILES),
     "retry_backoff": (q_retry_backoff, SQL_RETRY_BACKOFF),
+    "aimd_rate": (q_aimd_rate, SQL_AIMD_RATE),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

@@ -117,3 +117,79 @@ def test_mixture_broadcast_plan(spark):
     targets = spark.createDataFrame([("en", 10)], "lang string, target_tokens long")
     plan = packing.mixture_sample(_docs(spark, rows), targets)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_temperature_flattens_the_mixture(spark):
+    # power-law corpus: en 64x the tokens of fr
+    rows = (
+        [(i, _words(64), "en", "A") for i in range(100)]
+        + [(1000 + i, _words(16), "de", "A") for i in range(25)]
+        + [(2000 + i, _words(4), "fr", "A") for i in range(25)]
+    )
+    out = {
+        r.strata: r
+        for r in packing.temperature_rates(
+            _docs(spark, rows), alpha=0.5, budget_tokens=1_000_000
+        ).collect()
+    }
+    totals = {"en": 6400, "de": 400, "fr": 100}
+    grand = sum(totals.values())
+    assert {s: r.total_tokens for s, r in out.items()} == totals
+    # probabilities: p_i = sqrt(n_i)/sum(sqrt) -> 80/(80+20+10)
+    assert abs(out["en"].p - 80 / 110) < 1e-6
+    assert abs(out["fr"].p - 10 / 110) < 1e-6
+    assert abs(sum(r.p for r in out.values()) - 1.0) < 2e-6
+    # flattening: head share shrinks vs raw, tail share grows
+    assert out["en"].p < totals["en"] / grand
+    assert out["fr"].p > totals["fr"] / grand
+    # targets are the budget split by p; rates cap at 1 (up-sampling
+    # saturates -- every stratum here is far smaller than its target)
+    for s, r in out.items():
+        assert r.target_tokens == round(round(r.p, 6) * 1_000_000)
+        assert r.rate == 1.0
+
+
+def test_temperature_rates_downsample(spark):
+    # tiny budget: every stratum must be cut, proportionally to p/n
+    rows = [(i, _words(10), "en" if i % 2 else "de", "A") for i in range(40)]
+    out = {
+        r.strata: r
+        for r in packing.temperature_rates(
+            _docs(spark, rows), alpha=0.5, budget_tokens=100
+        ).collect()
+    }
+    for s, r in out.items():
+        assert 0.0 < r.rate < 1.0
+        assert abs(r.rate - r.target_tokens / r.total_tokens) < 1e-6
+
+
+def test_temperature_sample_mass_and_replay(spark):
+    rows = (
+        [(i, _words(20), "en", "A") for i in range(200)]
+        + [(10_000 + i, _words(20), "fr", "A") for i in range(50)]
+    )
+    df = _docs(spark, rows)
+    budget = 2_000
+    sampled = packing.temperature_sample(df, alpha=0.5, budget_tokens=budget)
+    got = {
+        r.lang: r.n
+        for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rates = {
+        r.strata: r
+        for r in packing.temperature_rates(
+            df, alpha=0.5, budget_tokens=budget
+        ).collect()
+    }
+    for lang, n_docs in (("en", 200), ("fr", 50)):
+        expect = rates[lang].rate * n_docs
+        assert abs(got.get(lang, 0) - expect) <= max(3, 0.35 * expect), lang
+    # replay: identical draw for the same salt, different for another
+    a = sorted(r.doc_id for r in sampled.collect())
+    b = sorted(
+        r.doc_id
+        for r in packing.temperature_sample(
+            df, alpha=0.5, budget_tokens=budget
+        ).collect()
+    )
+    assert a == b
