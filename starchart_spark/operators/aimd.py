@@ -138,3 +138,32 @@ def to_delay_ms(rates: DataFrame, col: str = "applied_mu") -> DataFrame:
             "effective_rate_ms"
         ),
     )
+
+
+def merge_consent(
+    consent: DataFrame,
+    rates: DataFrame,
+    default_rate_ms: int = 2_000,
+) -> DataFrame:
+    """Fold the controller into the politeness layer: returns the consent
+    table with ``rate_ms = greatest(static rate, AIMD delay)`` — the same
+    most-conservative-wins merge the robots ``crawl-delay`` uses
+    (operators/robots.py merge_crawl_delay), so the token bucket honors
+    whichever of operator consent / robots / controller is slowest. Hosts
+    without controller state keep their static rate; the scheduler's
+    opt-in semantics (verified/spidering) pass through untouched. Feed the
+    result to ``politeness.consent_gate`` / ``CrawlEngine.init`` exactly
+    where the static consent table goes today.
+    """
+    d = to_delay_ms(rates).withColumnRenamed("effective_rate_ms", "__aimd_ms")
+    return consent.join(F.broadcast(d), "hostname", "left").select(
+        "hostname",
+        "verified",
+        "spidering",
+        F.greatest(
+            F.coalesce(F.col("rate_ms"), F.lit(int(default_rate_ms))).cast(
+                "long"
+            ),
+            F.coalesce(F.col("__aimd_ms"), F.lit(0)).cast("long"),
+        ).alias("rate_ms"),
+    )

@@ -123,3 +123,30 @@ def test_no_python_stage(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_merge_consent_most_conservative(spark):
+    """AIMD -> consent-table coupling: the failure-storm host's pacing
+    slows to the controller's delay, healthy hosts keep the static rate,
+    and consent_gate consumes the merged dim unchanged."""
+    from starchart_spark.operators import politeness
+
+    rates = aimd.aimd_rates(
+        _attempts(spark, LOG), r0_mu=R0, add_mu=ADD, min_mu=MIN, max_mu=MAX
+    )
+    consent = spark.createDataFrame(
+        [("a", True, True, 500), ("b", True, True, None), ("c", True, True, 500)],
+        "hostname string, verified boolean, spidering boolean, rate_ms long",
+    )
+    merged = {r["hostname"]: r["rate_ms"] for r in aimd.merge_consent(consent, rates).collect()}
+    # b climbed to 1150 mu -> 869 ms < default 2000 -> static wins
+    assert merged["b"] == 2_000
+    # c decayed to the 10 mu floor -> 100 s between calls dominates
+    assert merged["c"] == 100_000
+    # a: fold gives some rate; merged is max(500, delay)
+    assert merged["a"] >= 500
+    gated = politeness.consent_gate(
+        spark.createDataFrame([("c",)], "hostname string"),
+        aimd.merge_consent(consent, rates),
+    )
+    assert gated.collect()[0]["effective_rate_ms"] == 100_000
