@@ -478,3 +478,143 @@ def trustrank_sql(
         edges_cte, seeds_cte, iters, scale, damp_num, damp_den
     )
     return f"WITH {body}\nSELECT host, trust_u FROM {final}"
+
+
+# --------------------------------------------------------------------------
+# OPIC — Adaptive On-line Page Importance Computation (Abiteboul, Preda &
+# Cobena, WWW 2003): the cash/history importance estimate Nutch ships as its
+# default crawl scoring. Each page holds CASH; when crawled it credits its
+# HISTORY with that cash and hands equal shares down its out-links; the
+# importance estimate at any instant is history + cash. Unlike PageRank it
+# needs no full-graph iteration to converge on a schedule — the crawl
+# itself drives the computation, which is exactly what a frontier wants.
+#
+# This is the batch-synchronous variant (every page "crawled" each
+# superstep — the paper's convergence theorem is crawl-policy-independent,
+# so the synchronous schedule is a legitimate policy and the only
+# deterministic one for an oracle). Same exact-integer discipline as
+# `pagerank` above: cash in BIGINT units of 1/OPIC_SCALE, shares are floor
+# divisions (a few units leak per round — deterministic, identical in the
+# oracle); dangling cash is redistributed evenly the same round, standing
+# in for the paper's virtual page. One shuffle per superstep, lineage
+# truncated with localCheckpoint.
+
+
+OPIC_SCALE = 1_000_000_000_000
+
+
+def opic(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    scale: int = OPIC_SCALE,
+) -> DataFrame:
+    """(host, cash_u, hist_u, score_u) after ``iters`` synchronous OPIC
+    supersteps; ``score_u = hist_u + cash_u`` is the importance estimate
+    the scheduler ranks on (the paper's H+C, unnormalized — ordering is
+    what the frontier consumes). ``edges`` must be distinct (src, dst)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .union(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = (
+        e.groupBy(F.col("src").alias("host"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "host",
+            F.lit(0).cast("long").alias("cash_u"),
+            F.lit(0).cast("long").alias("hist_u"),
+            F.lit(0).cast("long").alias("score_u"),
+        )
+    state = nodes.select(
+        "host",
+        F.lit(scale // n).cast("long").alias("cash_u"),
+        F.lit(0).cast("long").alias("hist_u"),
+    )
+    for _ in range(iters):
+        wd = state.join(outdeg, "host", "left")
+        inc = (
+            wd.filter(F.col("outdeg").isNotNull())
+            .join(e, wd["host"] == e["src"])
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum(F.expr("cash_u div outdeg")).alias("inc"))
+        )
+        dang = wd.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("cash_u"), F.lit(0)).alias("dang_total")
+        )
+        state = (
+            state.select(
+                "host", (F.col("hist_u") + F.col("cash_u")).alias("hist_u")
+            )
+            .join(inc, "host", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                (
+                    F.coalesce(F.col("inc"), F.lit(0))
+                    + F.expr(f"dang_total div {n}")
+                )
+                .cast("long")
+                .alias("cash_u"),
+                "hist_u",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        "host",
+        "cash_u",
+        "hist_u",
+        (F.col("cash_u") + F.col("hist_u")).cast("long").alias("score_u"),
+    )
+
+
+def opic_cte(
+    edges_cte: str, iters: int = 4, scale: int = OPIC_SCALE
+) -> tuple[str, str]:
+    """(with_body, final_relation) for the unrolled oracle — same
+    composable shape as :func:`pagerank_cte`."""
+    parts = [
+        f"edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges)",
+        "deg AS (SELECT src AS host, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"s0 AS (SELECT host, (SELECT {scale} // n FROM nn) AS cash_u,"
+        " CAST(0 AS BIGINT) AS hist_u FROM nodes)",
+    ]
+    for i in range(iters):
+        prev, cur = f"s{i}", f"s{i + 1}"
+        parts.append(
+            f"""{cur} AS (
+  WITH wd AS (SELECT p.host, p.cash_u, d.outdeg
+              FROM {prev} p LEFT JOIN deg d USING (host)),
+  inc AS (SELECT e.dst AS host, SUM(w.cash_u // w.outdeg) AS inc
+          FROM wd w JOIN edges e ON w.host = e.src
+          WHERE w.outdeg IS NOT NULL GROUP BY e.dst),
+  dang AS (SELECT COALESCE(SUM(cash_u), 0) AS dang_total
+           FROM wd WHERE outdeg IS NULL)
+  SELECT p.host,
+         COALESCE(i.inc, 0)
+           + (SELECT dang_total FROM dang) // (SELECT n FROM nn) AS cash_u,
+         p.hist_u + p.cash_u AS hist_u
+  FROM {prev} p LEFT JOIN inc i USING (host)
+)"""
+        )
+    return ",\n".join(parts), f"s{iters}"
+
+
+def opic_sql(edges_cte: str, iters: int = 4, scale: int = OPIC_SCALE) -> str:
+    """DuckDB oracle for :func:`opic`, supersteps unrolled — kept beside
+    the operator so the recurrence cannot drift between engines."""
+    body, final = opic_cte(edges_cte, iters, scale)
+    return (
+        f"WITH {body}\nSELECT host, cash_u, hist_u,"
+        f" cash_u + hist_u AS score_u FROM {final}"
+    )

@@ -2721,6 +2721,34 @@ def _sql_host_pagerank() -> str:
 SQL_HOST_PAGERANK = _sql_host_pagerank()
 
 
+def q_opic_scores(spark, sf_dir):
+    """OPIC online importance (graph.opic, Abiteboul et al. WWW 2003 —
+    Nutch's default crawl scoring): 4 synchronous cash/history supersteps
+    over the SAME orders-derived host graph as host_pagerank, so the
+    online estimate is directly comparable to the offline signals. Exact
+    BIGINT cash units; oracle unrolls the identical recurrence."""
+    from starchart_spark.operators import graph
+
+    edges = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 37).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("o_orderkey") % 41).cast("string")).alias("dst"),
+    ).distinct()
+    return graph.opic(edges, iters=4)
+
+
+def _sql_opic_scores() -> str:
+    from starchart_spark.operators import graph
+
+    return graph.opic_sql(
+        "SELECT DISTINCT 'h' || (o_custkey % 37) AS src,"
+        " 'h' || (o_orderkey % 41) AS dst FROM orders",
+        iters=4,
+    )
+
+
+SQL_OPIC_SCORES = _sql_opic_scores()
+
+
 def q_host_hits(spark, sf_dir):
     """Host-graph HITS hubs/authorities (operators/graph.py): 4 exact-
     integer rounds over the SAME orders-derived link graph as
@@ -4430,6 +4458,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+    "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
     "trust_rank": (q_trust_rank, SQL_TRUST_RANK),
     "site_rollup": (q_site_rollup, SQL_SITE_ROLLUP),

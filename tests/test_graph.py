@@ -219,3 +219,87 @@ def test_trustrank_sql_oracle_parity(spark):
     want = {r[0]: r[1] for r in duckdb.sql(sql).fetchall()}
     assert got == want
     assert got["f"] == 0 and got["g"] == 0  # island beyond the seeds
+
+
+# --------------------------------------------------------------------------
+# OPIC
+
+
+def _opic_ref(rows, iters, scale=graph.OPIC_SCALE):
+    """Python reference of the synchronous cash/history recurrence."""
+    nodes = sorted({s for s, _ in rows} | {d for _, d in rows})
+    out = {}
+    for s, d in rows:
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    cash = {h: scale // n for h in nodes}
+    hist = {h: 0 for h in nodes}
+    for _ in range(iters):
+        inc = {h: 0 for h in nodes}
+        dang = 0
+        for h in nodes:
+            if h in out:
+                share = cash[h] // len(out[h])
+                for d in out[h]:
+                    inc[d] += share
+            else:
+                dang += cash[h]
+        for h in nodes:
+            hist[h] += cash[h]
+        for h in nodes:
+            cash[h] = inc[h] + dang // n
+    return {h: (cash[h], hist[h], cash[h] + hist[h]) for h in nodes}
+
+
+OPIC_ROWS = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "b"), ("e", "a"),
+]
+
+
+def test_opic_matches_reference(spark):
+    edges = spark.createDataFrame(OPIC_ROWS, ["src", "dst"])
+    got = {
+        r["host"]: (r["cash_u"], r["hist_u"], r["score_u"])
+        for r in graph.opic(edges, iters=4).collect()
+    }
+    assert got == _opic_ref(OPIC_ROWS, iters=4)
+
+
+def test_opic_sql_oracle_parity(spark):
+    import duckdb
+
+    edges = spark.createDataFrame(OPIC_ROWS, ["src", "dst"])
+    got = {
+        r["host"]: (r["cash_u"], r["hist_u"], r["score_u"])
+        for r in graph.opic(edges, iters=4).collect()
+    }
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in OPIC_ROWS)
+    sql = graph.opic_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iters=4
+    )
+    want = {r[0]: (r[1], r[2], r[3]) for r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
+def test_opic_authority_ordering(spark):
+    """c receives from three pages (a, b, d) — its online importance must
+    beat the pure-source pages d and e, which only ever hold their initial
+    grant plus redistributed dangling crumbs."""
+    edges = spark.createDataFrame(OPIC_ROWS, ["src", "dst"])
+    scores = {r["host"]: r["score_u"] for r in graph.opic(edges, iters=6).collect()}
+    assert scores["c"] > scores["d"]
+    assert scores["c"] > scores["e"]
+
+
+def test_opic_partition_invariance(spark):
+    edges = spark.createDataFrame(OPIC_ROWS, ["src", "dst"])
+    a = {
+        r["host"]: r["score_u"]
+        for r in graph.opic(edges.repartition(7), iters=3).collect()
+    }
+    b = {
+        r["host"]: r["score_u"]
+        for r in graph.opic(edges.coalesce(1), iters=3).collect()
+    }
+    assert a == b
