@@ -162,6 +162,12 @@ HEADLINE_QUERIES = [
     "multimodal_budget",
     # NEAR/k proximity: k conditional running-max columns, one exchange
     "proximity_search",
+    # round-5 session-12: AIMD controller fold (JVM HOFs, one host-keyed
+    # exchange), temperature mixture (one agg + strata window), OPIC
+    # online importance (one exchange per superstep, like pagerank)
+    "aimd_rate",
+    "temperature_mixture",
+    "opic_scores",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge
