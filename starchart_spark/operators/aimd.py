@@ -167,3 +167,52 @@ def merge_consent(
             F.coalesce(F.col("__aimd_ms"), F.lit(0)).cast("long"),
         ).alias("rate_ms"),
     )
+
+
+def jain_fairness(
+    alloc: DataFrame,
+    value_col: str = "applied_mu",
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Jain's fairness index over an allocation table — the metric from
+    the same Chiu & Jain line of work AIMD's convergence proof targets:
+
+        J = (Σ x_i)² / (n · Σ x_i²)     ∈ (0, 1], 1 = perfectly even.
+
+    Emitted in EXACT-RATIONAL form — ``(n, sum_x, sum_x2, j_num, j_den,
+    fairness)`` with ``j_num = sum_x²`` and ``j_den = n·sum_x2`` as
+    BIGINTs and ``fairness`` their 6-dp quotient — so the index is a pure
+    integer function of the allocation (one hash aggregate, map-side
+    partials; order-independent) and only the final display division
+    touches floats. Guard rails: x_i must be non-negative (rates,
+    budgets, fetch counts all are); sums fit BIGINT for any real rate
+    table (10^8 hosts × 10^4 mu ⇒ sum_x² ≈ 10^24 would overflow — pass
+    rates in coarser units or roll up by site first; the engine's
+    host-bucket rollup keeps n ≤ 10^6).
+
+    ``by``: optional grouping column (e.g. forge_type or host_bucket) for
+    per-stratum fairness; omitted = one global row (group key emitted as
+    ``scope`` either way). The scheduler reads J after each epoch:
+    J falling while aggregate throughput rises means mega-hosts are
+    crowding out the tail — the signal to retune the budget split.
+    """
+    x = F.col(value_col).cast("long")
+    key = (F.col(by) if by else F.lit("all")).cast("string").alias("scope")
+    agg = alloc.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sum_x"),
+        F.sum(x * x).alias("sum_x2"),
+    )
+    j_num = F.col("sum_x") * F.col("sum_x")
+    j_den = F.col("n") * F.col("sum_x2")
+    return agg.select(
+        "scope",
+        "n",
+        "sum_x",
+        "sum_x2",
+        j_num.cast("long").alias("j_num"),
+        j_den.cast("long").alias("j_den"),
+        F.when(j_den <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(j_num.cast("double") / j_den.cast("double"), 6))
+        .alias("fairness"),
+    )

@@ -4330,6 +4330,67 @@ FROM folded
 """
 
 
+def q_jain_fairness(spark, sf_dir):
+    """Jain's fairness index over the AIMD controller's applied rates,
+    grouped into 4 host cohorts — exact-rational (one hash aggregate;
+    j_num/j_den BIGINTs, only the display quotient touches floats). The
+    post-epoch scheduler diagnostic from the same Chiu & Jain line as
+    the controller itself."""
+    from starchart_spark.operators import aimd
+
+    attempts = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "hostname"
+        ),
+        F.col("event_id").alias("ts"),
+        (F.col("event_type") != "error").alias("ok"),
+    )
+    rates = aimd.aimd_rates(
+        attempts, r0_mu=1_000, add_mu=50, min_mu=10, max_mu=10_000
+    ).withColumn(
+        "grp", F.substring("hostname", 2, 10).cast("int") % 4
+    )
+    return aimd.jain_fairness(rates, value_col="applied_mu", by="grp")
+
+
+SQL_JAIN_FAIRNESS = """
+WITH a AS (
+  SELECT 'h' || (user_id % 20) AS hostname, event_id AS ts,
+         CASE WHEN event_type <> 'error' THEN CAST(50 AS BIGINT)
+              ELSE CAST(-1 AS BIGINT) END AS step
+  FROM events
+),
+agg AS (
+  SELECT hostname, list(step ORDER BY ts) AS steps FROM a GROUP BY hostname
+),
+rates AS (
+  SELECT hostname,
+         CAST(least(greatest(
+           list_reduce(list_prepend(CAST(1000 AS BIGINT), steps),
+             (acc, x) -> CASE WHEN x >= 0 THEN acc + x ELSE acc // 2 END),
+           10), 10000) AS BIGINT) AS applied_mu
+  FROM agg
+),
+g AS (
+  SELECT CAST(CAST(substr(hostname, 2) AS INTEGER) % 4 AS VARCHAR) AS scope,
+         applied_mu
+  FROM rates
+),
+f AS (
+  SELECT scope, COUNT(*) AS n,
+         CAST(SUM(applied_mu) AS BIGINT) AS sum_x,
+         CAST(SUM(applied_mu * applied_mu) AS BIGINT) AS sum_x2
+  FROM g GROUP BY scope
+)
+SELECT scope, n, sum_x, sum_x2,
+       sum_x * sum_x AS j_num, n * sum_x2 AS j_den,
+       CASE WHEN n * sum_x2 <= 0 THEN NULL
+            ELSE round(CAST(sum_x * sum_x AS DOUBLE) / (n * sum_x2), 6)
+       END AS fairness
+FROM f
+"""
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature-flattened language mixture (packing.temperature_rates,
     Arivazhagan et al. 2019 / XLM-R style, alpha=0.5 so the weight is an
@@ -4486,6 +4547,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "latency_quantiles": (q_latency_quantiles, SQL_LATENCY_QUANTILES),
     "retry_backoff": (q_retry_backoff, SQL_RETRY_BACKOFF),
     "aimd_rate": (q_aimd_rate, SQL_AIMD_RATE),
+    "jain_fairness": (q_jain_fairness, SQL_JAIN_FAIRNESS),
     # federation surface (round 2: S8/S11/J6/S12 driver-gated)
     "publiccode_roundtrip": (q_publiccode_roundtrip, SQL_PUBLICCODE_ROUNDTRIP),
     "mini_index_targeting": (q_mini_index_targeting, SQL_MINI_INDEX_TARGETING),

@@ -150,3 +150,35 @@ def test_merge_consent_most_conservative(spark):
         aimd.merge_consent(consent, rates),
     )
     assert gated.collect()[0]["effective_rate_ms"] == 100_000
+
+
+def test_jain_fairness_known_values(spark):
+    """Equal allocation -> 1.0; one-hot allocation over n hosts -> 1/n;
+    hand case 4,2,2 -> 64/(3*24) = 0.888889. Exact-rational columns carry
+    the index as integers."""
+    eq = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 5)], "hostname string, applied_mu long"
+    )
+    r = aimd.jain_fairness(eq).collect()[0]
+    assert (r["n"], r["sum_x"], r["sum_x2"]) == (3, 15, 75)
+    assert r["j_num"] == 225 and r["j_den"] == 225 and r["fairness"] == 1.0
+    hot = spark.createDataFrame(
+        [("a", 9), ("b", 0), ("c", 0)], "hostname string, applied_mu long"
+    )
+    assert aimd.jain_fairness(hot).collect()[0]["fairness"] == round(1 / 3, 6)
+    mid = spark.createDataFrame(
+        [("a", 4), ("b", 2), ("c", 2)], "hostname string, applied_mu long"
+    )
+    assert aimd.jain_fairness(mid).collect()[0]["fairness"] == round(64 / 72, 6)
+
+
+def test_jain_fairness_grouped(spark):
+    alloc = spark.createDataFrame(
+        [("g", "a", 3), ("g", "b", 3), ("h", "c", 6), ("h", "d", 0)],
+        "forge_type string, hostname string, applied_mu long",
+    )
+    out = {
+        r["scope"]: r["fairness"]
+        for r in aimd.jain_fairness(alloc, by="forge_type").collect()
+    }
+    assert out["g"] == 1.0 and out["h"] == 0.5
