@@ -168,6 +168,8 @@ HEADLINE_QUERIES = [
     "aimd_rate",
     "temperature_mixture",
     "opic_scores",
+    # exact-rational fairness over the AIMD rates: the fold + one 4-group agg
+    "jain_fairness",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

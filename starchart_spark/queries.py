@@ -4430,6 +4430,60 @@ FROM pp
 """
 
 
+def q_mixture_pack(spark, sf_dir):
+    """The pretraining last mile END TO END: temperature-flattened
+    sampling (α=0.5, 10k-token global budget — every language really
+    downsamples at both gate scales) feeding GPT-style sequence packing.
+    Gates the COMPOSITION: the sampler's broadcast-rate scan predicate
+    must hand the packer exactly the rows whose window cumsum the oracle
+    replays."""
+    from starchart_spark.operators import packing
+
+    sampled = packing.temperature_sample(
+        _t(spark, sf_dir, "documents"), alpha=0.5, budget_tokens=10_000
+    )
+    return packing.pack_sequences(sampled, context_len=512)
+
+
+SQL_MIXTURE_PACK = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+           AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT lang, sum(n_tokens) AS total_tokens FROM tok GROUP BY lang
+), w AS (
+  SELECT lang, total_tokens, sqrt(CAST(total_tokens AS DOUBLE)) AS w
+  FROM tot
+), pp AS (
+  SELECT lang, total_tokens, round(w / sum(w) OVER (), 6) AS p FROM w
+), r AS (
+  SELECT lang,
+         CAST(trunc(
+           round(CASE WHEN total_tokens <= 0 THEN 0.0
+                 ELSE least(1.0,
+                   CAST(round(p * 10000, 0) AS BIGINT) * 1.0 / total_tokens)
+                 END, 6) * 2147483647) AS BIGINT) AS thresh
+  FROM pp
+), s AS (
+  SELECT t.source, t.doc_id, t.n_tokens
+  FROM tok t JOIN r USING (lang)
+  WHERE {_SEL_SQL.format(col="t.doc_id")} < r.thresh
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+  FROM s
+)
+SELECT source, start_off // 512 AS seq_id, count(*) AS n_docs,
+       sum(n_tokens) AS n_tokens, min(doc_id) AS first_doc_id,
+       max(doc_id) AS last_doc_id
+FROM c GROUP BY source, start_off // 512
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4499,6 +4553,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "temperature_mixture": (q_temperature_mixture, SQL_TEMPERATURE_MIXTURE),
+    "mixture_pack": (q_mixture_pack, SQL_MIXTURE_PACK),
     "quality_buckets": (q_quality_buckets, SQL_QUALITY_BUCKETS),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
