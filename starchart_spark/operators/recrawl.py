@@ -132,3 +132,82 @@ def failure_backoff(
             ).cast("long").alias("next_attempt"),
         )
     )
+
+
+def revisit_plan(
+    responses: "DataFrame",
+    sitemap_status: "DataFrame",
+    schedule: "DataFrame",
+    now_s: int,
+    url_col: str = "url",
+    host_col: str = "hostname",
+) -> "DataFrame":
+    """Merge the three revisit signals a production crawler holds into ONE
+    per-URL next action — the composition the reference's fixed-TTL sleep
+    loop (src/spider.rs:192-202) flattens into "re-crawl everything":
+
+    - RFC 9111 cache state (:mod:`cachectl` — server-granted freshness,
+      validators for conditional GETs),
+    - the host's sitemap assertions (:mod:`sitemaps` recrawl_delta —
+      ``new`` / ``updated`` / ``unchanged`` per URL),
+    - the adaptive host TTL (:func:`recrawl_schedule` — change-rate-
+      proportional ``next_due``).
+
+    Precedence (documented, exact, oracle-replayed):
+
+    1. sitemap ``new``/``updated`` → **fetch** — the host asserted change;
+       trusting it costs one fetch, ignoring it costs staleness. Overrides
+       the host TTL deferral (politeness still paces the actual fetch —
+       pacing is the fetch layer's job, not the planner's).
+    2. host not yet due (``now_s < next_due``) → **defer**; hosts absent
+       from the schedule are first-sighting, treated as due.
+    3. cache ``fresh`` → **skip** (serve the stored copy this cycle).
+    4. cache ``revalidate`` → **revalidate** (send ``cond_header``).
+    5. otherwise → **fetch**.
+
+    ``next_check_s`` is the earliest instant the answer could change:
+    ``next_due`` for defers, ``fetched_s + fresh_for_s`` for skips,
+    ``now_s`` otherwise — the scheduler's wake-up index.
+
+    Shape: the cache decision is a zero-shuffle projection; sitemap status
+    joins on the URL key (host-prefixed — co-located with the engine's
+    bucket layout); the schedule is a host-sized broadcast dim. No new
+    exchange beyond the URL equi-join at any corpus size.
+    """
+    from starchart_spark.operators import cachectl
+
+    d = cachectl.cache_decision(responses, now_s=now_s)
+    sm = sitemap_status.select(
+        F.col(url_col), F.col("status").alias("__sm")
+    )
+    sch = schedule.select(F.col(host_col), F.col("next_due").alias("__due"))
+    j = d.join(sm, url_col, "left").join(F.broadcast(sch), host_col, "left")
+    sm_hit = F.col("__sm").isin("new", "updated")
+    deferred = F.col("__due").isNotNull() & (F.lit(int(now_s)) < F.col("__due"))
+    action = (
+        F.when(sm_hit, F.lit("fetch"))
+        .when(deferred, F.lit("defer"))
+        .when(F.col("decision") == "fresh", F.lit("skip"))
+        .when(F.col("decision") == "revalidate", F.lit("revalidate"))
+        .otherwise(F.lit("fetch"))
+    )
+    next_check = (
+        F.when(sm_hit, F.lit(int(now_s)))
+        .when(deferred, F.col("__due"))
+        .when(
+            F.col("decision") == "fresh",
+            F.col("fetched_s") + F.col("fresh_for_s"),
+        )
+        .otherwise(F.lit(int(now_s)))
+    )
+    return j.select(
+        F.col(host_col),
+        F.col(url_col),
+        "decision",
+        "fresh_for_s",
+        "cond_header",
+        F.coalesce(F.col("__sm"), F.lit("none")).alias("sitemap_status"),
+        F.col("__due").alias("host_next_due"),
+        action.alias("action"),
+        next_check.cast("long").alias("next_check_s"),
+    )

@@ -2090,24 +2090,16 @@ def q_cache_policy(spark, sf_dir):
     return cachectl.cache_decision(resp, now_s=2_003_000)
 
 
-SQL_CACHE_POLICY = r"""
-WITH resp AS (
-  SELECT
-    'https://host' || (o_orderkey % 50) || '.test/page/' || o_orderkey AS url,
-    CASE WHEN o_orderkey % 3 = 0 THEN '"e' || o_orderkey || '"' END AS etag,
-    CASE WHEN o_orderkey % 4 < 2
-         THEN 1000000 + (o_orderkey % 1000) * 100 END AS last_modified_s,
-    CASE o_orderkey % 5
-      WHEN 0 THEN 'max-age=' || ((o_orderkey % 200) * 10)
-      WHEN 1 THEN 'no-cache, public'
-      WHEN 2 THEN 'no-store'
-      WHEN 3 THEN 'public'
-    END AS cache_control,
-    2000000 + (o_orderkey % 5000) AS fetched_s
-  FROM orders
+def _cache_policy_sql(resp_cte: str, now_s: int, extra_cols: str = "") -> str:
+    """The cache_decision oracle as a spliceable generator (same pattern as
+    pagerank_cte): composition oracles (revisit_plan) reuse the identical
+    decision CTEs instead of restating them. ``extra_cols`` carries
+    passenger columns (e.g. hostname) through the explicit dec projection."""
+    return rf"""
+WITH resp AS ({resp_cte}
 ), d AS (
   SELECT *,
-    2003000 - fetched_s AS age_s,
+    {now_s} - fetched_s AS age_s,
     coalesce(
       CASE WHEN regexp_extract(coalesce(cache_control, ''),
                   '(?i)(?:^|[,\s])max-age=([0-9]+)', 1) <> ''
@@ -2123,7 +2115,7 @@ WITH resp AS (
     (etag IS NOT NULL OR last_modified_s IS NOT NULL) AS has_validator
   FROM resp
 ), dec AS (
-  SELECT url, etag, last_modified_s, cache_control, fetched_s, age_s,
+  SELECT {extra_cols}url, etag, last_modified_s, cache_control, fetched_s, age_s,
     fresh_for_s,
     CASE
       WHEN no_store THEN 'fetch'
@@ -2140,8 +2132,123 @@ SELECT *,
     CASE WHEN etag IS NOT NULL THEN 'if-none-match'
          ELSE 'if-modified-since' END
   END AS cond_header
-FROM dec
+FROM dec"""
+
+
+_CACHE_RESP_CTE = r"""
+  SELECT
+    'https://host' || (o_orderkey % 50) || '.test/page/' || o_orderkey AS url,
+    CASE WHEN o_orderkey % 3 = 0 THEN '"e' || o_orderkey || '"' END AS etag,
+    CASE WHEN o_orderkey % 4 < 2
+         THEN 1000000 + (o_orderkey % 1000) * 100 END AS last_modified_s,
+    CASE o_orderkey % 5
+      WHEN 0 THEN 'max-age=' || ((o_orderkey % 200) * 10)
+      WHEN 1 THEN 'no-cache, public'
+      WHEN 2 THEN 'no-store'
+      WHEN 3 THEN 'public'
+    END AS cache_control,
+    2000000 + (o_orderkey % 5000) AS fetched_s
+  FROM orders"""
+
+
+SQL_CACHE_POLICY = _cache_policy_sql(_CACHE_RESP_CTE, 2_003_000)
+
+
+def q_revisit_plan(spark, sf_dir):
+    """The revisit COMPOSITION (recrawl.revisit_plan): RFC 9111 cache
+    state × sitemap assertions × adaptive host TTL → one per-URL action
+    (fetch / defer / skip / revalidate) + wake-up time. Same header
+    synthesis as cache_policy (every decision branch), sitemap status on
+    a %7 cycle, host schedule on a %8 cycle with hosts 40-49 absent
+    (first-sighting ⇒ due) — all five actions and every precedence edge
+    appear at both gate scales."""
+    from starchart_spark.operators import recrawl
+
+    k = F.col("o_orderkey")
+    resp = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("host"), (k % 50).cast("string"), F.lit(".test")).alias(
+            "hostname"
+        ),
+        F.concat(
+            F.lit("https://host"), (k % 50).cast("string"),
+            F.lit(".test/page/"), k.cast("string"),
+        ).alias("url"),
+        F.when(k % 3 == 0, F.concat(F.lit('"e'), k.cast("string"), F.lit('"'))).alias(
+            "etag"
+        ),
+        F.when(k % 4 < 2, F.lit(1_000_000) + (k % 1000) * 100).alias(
+            "last_modified_s"
+        ),
+        F.when(k % 5 == 0, F.concat(F.lit("max-age="), ((k % 200) * 10).cast("string")))
+        .when(k % 5 == 1, F.lit("no-cache, public"))
+        .when(k % 5 == 2, F.lit("no-store"))
+        .when(k % 5 == 3, F.lit("public"))
+        .alias("cache_control"),
+        (F.lit(2_000_000) + (k % 5000)).alias("fetched_s"),
+    )
+    sitemap = (
+        _t(spark, sf_dir, "orders")
+        .filter(k % 7 < 4)
+        .select(
+            F.concat(
+                F.lit("https://host"), (k % 50).cast("string"),
+                F.lit(".test/page/"), k.cast("string"),
+            ).alias("url"),
+            F.when(k % 7 == 0, F.lit("updated"))
+            .when(k % 7 == 1, F.lit("new"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+    schedule = spark.range(0, 40).select(
+        F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".test")).alias(
+            "hostname"
+        ),
+        (F.lit(2_001_000) + (F.col("id") % 8) * 400).alias("next_due"),
+    )
+    return recrawl.revisit_plan(resp, sitemap, schedule, now_s=2_003_000)
+
+
+def _sql_revisit_plan() -> str:
+    base = _cache_policy_sql(
+        "\n  SELECT 'host' || (o_orderkey % 50) || '.test' AS hostname,"
+        + _CACHE_RESP_CTE.replace("SELECT", "", 1),
+        2_003_000,
+        extra_cols="hostname, ",
+    )
+    return rf"""
+WITH base AS ({base}
+), sm AS (
+  SELECT 'https://host' || (o_orderkey % 50) || '.test/page/' || o_orderkey
+           AS url,
+         CASE o_orderkey % 7 WHEN 0 THEN 'updated' WHEN 1 THEN 'new'
+              ELSE 'unchanged' END AS status
+  FROM orders WHERE o_orderkey % 7 < 4
+), sch AS (
+  SELECT 'host' || h || '.test' AS hostname,
+         2001000 + (h % 8) * 400 AS next_due
+  FROM (SELECT unnest(range(0, 40)) AS h)
+), j AS (
+  SELECT b.*, s.status AS sm, c.next_due
+  FROM base b LEFT JOIN sm s USING (url) LEFT JOIN sch c USING (hostname)
+)
+SELECT hostname, url, decision, fresh_for_s, cond_header,
+       coalesce(sm, 'none') AS sitemap_status,
+       next_due AS host_next_due,
+       CASE WHEN sm IN ('new', 'updated') THEN 'fetch'
+            WHEN next_due IS NOT NULL AND 2003000 < next_due THEN 'defer'
+            WHEN decision = 'fresh' THEN 'skip'
+            WHEN decision = 'revalidate' THEN 'revalidate'
+            ELSE 'fetch' END AS action,
+       CAST(CASE WHEN sm IN ('new', 'updated') THEN 2003000
+            WHEN next_due IS NOT NULL AND 2003000 < next_due THEN next_due
+            WHEN decision = 'fresh' THEN fetched_s + fresh_for_s
+            ELSE 2003000 END AS BIGINT) AS next_check_s
+FROM j
 """
+
+
+SQL_REVISIT_PLAN = _sql_revisit_plan()
 
 
 def q_bpe_pair_counts(spark, sf_dir):
@@ -4591,6 +4698,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "interleave_pairs": (q_interleave_pairs, SQL_INTERLEAVE_PAIRS),
     "multimodal_budget": (q_multimodal_budget, SQL_MULTIMODAL_BUDGET),
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
+    "revisit_plan": (q_revisit_plan, SQL_REVISIT_PLAN),
     "mirror_hosts": (q_mirror_hosts, SQL_MIRROR_HOSTS),
     "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),

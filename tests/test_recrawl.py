@@ -107,3 +107,49 @@ def test_failure_backoff_cap_and_recovery(spark):
     df2 = df.union(spark.createDataFrame([("h", 20, True)], df.schema))
     r2 = recrawl.failure_backoff(df2, base_ms=10, cap=10).collect()[0]
     assert r2["fails_since_ok"] == 0 and r2["next_attempt"] == 30
+
+
+def test_revisit_plan_precedence(spark):
+    """One URL per branch, incl. the sitemap-overrides-defer edge and the
+    first-sighting (host absent from schedule) path."""
+    from starchart_spark.operators import recrawl
+
+    NOW = 1_000
+    resp = spark.createDataFrame(
+        [
+            # fresh cache (max-age outlives age), host due -> skip
+            ("h1", "u/skip", None, None, "max-age=900", 500),
+            # fresh cache BUT host deferred -> defer wins over skip
+            ("h2", "u/defer", None, None, "max-age=900", 500),
+            # stale with validator, host due -> revalidate
+            ("h1", "u/reval", '"e1"', None, "max-age=10", 500),
+            # stale, no validator, host due -> fetch
+            ("h1", "u/fetch", None, None, None, 500),
+            # fresh cache AND deferred host BUT sitemap says updated -> fetch
+            ("h2", "u/smwin", None, None, "max-age=900", 500),
+            # host absent from schedule (first sighting) -> treated due
+            ("h9", "u/new-host", None, None, "max-age=900", 500),
+        ],
+        "hostname string, url string, etag string, last_modified_s long,"
+        " cache_control string, fetched_s long",
+    )
+    sitemap = spark.createDataFrame(
+        [("u/smwin", "updated"), ("u/skip", "unchanged")],
+        "url string, status string",
+    )
+    schedule = spark.createDataFrame(
+        [("h1", 900), ("h2", 2_000)], "hostname string, next_due long"
+    )
+    out = {
+        r["url"]: (r["action"], r["next_check_s"], r["sitemap_status"])
+        for r in recrawl.revisit_plan(
+            resp, sitemap, schedule, now_s=NOW
+        ).collect()
+    }
+    assert out["u/skip"] == ("skip", 500 + 900, "unchanged")
+    assert out["u/defer"] == ("defer", 2_000, "none")
+    assert out["u/reval"][0] == "revalidate"
+    assert out["u/reval"][1] == NOW
+    assert out["u/fetch"][0] == "fetch"
+    assert out["u/smwin"] == ("fetch", NOW, "updated")
+    assert out["u/new-host"][0] == "skip"  # due (absent) + fresh cache
