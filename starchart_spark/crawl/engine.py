@@ -57,6 +57,7 @@ from pyspark.sql import types as T
 
 from starchart_spark import tables
 from starchart_spark.functions.urls import canonicalize_udf, host_bucket, url_hash
+from starchart_spark.operators import aimd as aimd_mod
 from starchart_spark.operators import bloom as bloom_mod
 from starchart_spark.operators import dedup, multimodal, normalize, politeness, skew
 from starchart_spark.operators import robots as robots_mod
@@ -120,6 +121,33 @@ PENDING = T.StructType(
         T.StructField("effective_rate_ms", T.LongType(), False),
         T.StructField("host_bucket", T.IntegerType(), False),
         T.StructField("doc_id", T.StringType(), False),
+    ]
+)
+
+
+# adaptive mode: per-attempt fetch outcomes — the AIMD controller's input.
+# ``ts`` is a deterministic per-host ordering key (batch/page/idx encoding,
+# never wall time); ``ok`` is the wire outcome (true = the server answered,
+# including the 404 sentinel; false = transport fault). Cache-served bodies
+# never log an attempt — no wire was hit.
+FETCH_LOG = T.StructType(
+    [
+        T.StructField("batch_id", T.LongType(), False),
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+# adaptive mode: persisted controller state, one row per host ever attempted.
+# base_rate_ms = the host's static pace (consent/robots merge) captured when
+# the host first entered the controller; rate_mu = the raw AIMD recursion
+# state carried between epochs (operators/aimd.py aimd_rates ``prior``).
+AIMD_STATE = T.StructType(
+    [
+        T.StructField("hostname", T.StringType(), False),
+        T.StructField("base_rate_ms", T.LongType(), False),
+        T.StructField("rate_mu", T.LongType(), False),
     ]
 )
 
@@ -200,6 +228,19 @@ class CrawlSettings:
     # trade for a perpetual small-batch daemon, the wrong one for huge
     # one-shot batches, hence the switch.
     compact_plans: bool = True
+    # adaptive per-host rate control (operators/aimd.py, Chiu & Jain 1989):
+    # transport mode only. When set, (a) transport faults are RECORDED
+    # (fetch_log table) instead of failing the batch — the failed fetch
+    # retries next batch through the pending-carryover machinery, exactly
+    # like a budget deferral, while completed work (the page body, sibling
+    # topic bodies) is never refetched (body_cache); and (b)
+    # ``adapt_rates()`` folds the logged outcomes into per-host AIMD state
+    # at each cycle boundary, re-pacing the frontier with
+    # effective_rate_ms = greatest(static rate, AIMD delay) — adaptation
+    # only ever slows a failing host below its consent/robots pace.
+    # None (default) keeps every plan byte-identical to reference-parity
+    # mode and lets transport faults propagate.
+    adaptive: "aimd_mod.AimdParams | None" = None
 
 
 class CrawlEngine:
@@ -272,6 +313,12 @@ class CrawlEngine:
         # per-host HLL register log (track_host_distincts mode): append-only,
         # folded on read — see host_distinct_registers()
         self.host_hll = t("host_hll", tables.HOST_HLL, [])
+        # adaptive mode (CrawlSettings.adaptive): per-attempt outcomes,
+        # appended per batch inside the same multi_commit; and the persisted
+        # AIMD controller state, overwritten by adapt_rates() at cycle
+        # boundaries (its snapshot summary carries the fold watermark)
+        self.fetch_log = t("fetch_log", FETCH_LOG, [])
+        self.aimd_state = t("aimd_state", AIMD_STATE, ["hostname"])
 
     # -- helpers ---------------------------------------------------------------
 
@@ -498,7 +545,7 @@ class CrawlEngine:
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
                     self.media_assets, self.lineage, self.visit_log,
                     self.pending, self.bloom_state, self.body_cache,
-                    self.host_hll):
+                    self.host_hll, self.fetch_log):
             while True:
                 cur = tbl.current_snapshot()
                 if cur is None:
@@ -590,6 +637,9 @@ class CrawlEngine:
         compares against ttl (P3, src/spider.rs:192-202).
         """
         self._batch_time_s = batch_time_s
+        if self.s.adaptive is not None and self.s.transport is None:
+            # outcomes come from the wire; the documents join cannot fail
+            raise ValueError("CrawlSettings.adaptive requires a transport")
         if self.s.transport is not None:
             # real-fetch mode: bodies come from the transport, not the
             # documents join; budget-deferred hosts carry fetched bodies
@@ -635,7 +685,8 @@ class CrawlEngine:
         for tbl in (self.forges, self.users, self.repositories, self.url_seen,
                     self.media_assets, self.lineage, self.visit_log, self.state,
                     self.pending, self.bloom_state, self.body_cache,
-                    self.robots_rules, self.host_hll):
+                    self.robots_rules, self.host_hll, self.fetch_log,
+                    self.aimd_state):
             tbl.expire_snapshots(self.s.snapshot_keep)
         return {"batches": batches, "last_batch_id": batch_id}
 
@@ -684,6 +735,109 @@ class CrawlEngine:
             {"op": "reactivate", "now_s": now_s},
         )
 
+    def adapt_rates(self) -> dict:
+        """Cycle-boundary AIMD fold (CrawlSettings.adaptive): fold the fetch
+        outcomes logged since the last fold into the persisted per-host
+        controller state, then re-pace the frontier.
+
+        One epoch = the batches since the previous ``adapt_rates()`` call —
+        the fold watermark is the ``aimd_batch_id`` stamped into the
+        aimd_state snapshot summary, so each attempt is folded exactly once
+        and epochs chain through the controller state (the split-fold ≡
+        one-fold identity of operators/aimd.py). The frontier re-pace is
+        most-conservative-wins: ``effective_rate_ms = greatest(base static
+        rate, AIMD delay)`` — a failing host slows down (floor-halved mu ⇒
+        longer delay), a recovering host speeds back up additively but
+        never past its consent/robots base pace.
+
+        Idempotent across kills: a crash between the aimd_state commit and
+        the state re-pace leaves the watermark advanced; the re-run folds
+        zero new attempts, carries every host's state unchanged, and
+        recomputes the identical re-pace. Deployment loop::
+
+            eng.run(...)            # crawl cycle (fetch_log accumulates)
+            eng.adapt_rates()       # fold outcomes → re-pace frontier
+            eng.reactivate_due(t)   # TTL re-entry at the adapted pace
+            eng.run(...)            # next cycle
+        """
+        p = self.s.adaptive
+        if p is None:
+            raise ValueError("adapt_rates() requires CrawlSettings.adaptive")
+        snap = self.aimd_state.current_snapshot()
+        wm = snap.summary.get("aimd_batch_id") if snap is not None else None
+        new_wm = self._last_batch_id()
+        log = self.fetch_log.read(self.spark)
+        if isinstance(wm, int):
+            log = log.filter(F.col("batch_id") > wm)
+        prior = self.aimd_state.read(self.spark) if snap is not None else None
+        rates = aimd_mod.aimd_rates(
+            log.select("hostname", "ts", "ok"),
+            r0_mu=p.r0_mu, add_mu=p.add_mu, min_mu=p.min_mu, max_mu=p.max_mu,
+            prior=prior.select("hostname", "rate_mu") if prior is not None else None,
+        )
+        # hosts attempted this epoch: fold result; base = their existing
+        # base, else their static pace from the frontier state (captured
+        # once — consent/robots never change mid-cycle). Hosts without
+        # attempts carry unchanged.
+        bases = (
+            prior.select("hostname", "base_rate_ms")
+            if prior is not None
+            else self.spark.createDataFrame(
+                [], "hostname string, base_rate_ms long"
+            )
+        )
+        statics = self.state.read(self.spark).select(
+            "hostname", F.col("effective_rate_ms").alias("__static")
+        )
+        fresh = (
+            rates.select("hostname", "rate_mu")
+            .join(bases, "hostname", "left")
+            .join(statics, "hostname", "left")
+            .select(
+                "hostname",
+                F.coalesce(
+                    "base_rate_ms", "__static", F.lit(int(self.s.rate_ms))
+                ).cast("long").alias("base_rate_ms"),
+                F.col("rate_mu").cast("long").alias("rate_mu"),
+            )
+        )
+        carried = (
+            prior.join(rates.select("hostname"), "hostname", "left_anti")
+            if prior is not None
+            else self.spark.createDataFrame([], AIMD_STATE)
+        )
+        # materialize BEFORE the overwrite — both frames read aimd_state
+        new_aimd = fresh.unionByName(carried).localCheckpoint(eager=True)
+        self.aimd_state.overwrite(new_aimd, {"aimd_batch_id": new_wm})
+        # frontier re-pace: dim-sized broadcast join onto the state table.
+        # delay = 1e6 div clamp(rate_mu, min, max) — aimd.to_delay_ms's
+        # arithmetic over the clamped applied rate
+        pace = new_aimd.select(
+            "hostname",
+            F.greatest(
+                F.col("base_rate_ms"),
+                F.expr(
+                    f"CAST(1000000 div greatest(least(rate_mu, {int(p.max_mu)}),"
+                    f" {int(p.min_mu)}) AS BIGINT)"
+                ),
+            ).alias("__eff"),
+        )
+        st = self.state.read(self.spark)
+        repaced = st.join(F.broadcast(pace), "hostname", "left").select(
+            "forge_id", "hostname", "forge_url", "forge_type", "next_page",
+            "active",
+            F.coalesce("__eff", "effective_rate_ms").alias("effective_rate_ms"),
+            "host_bucket", "last_crawl_on",
+            (F.coalesce("__eff", "effective_rate_ms")
+             != F.col("effective_rate_ms")).alias("_due"),
+        )
+        n = self.state.overwrite_if(
+            repaced,
+            F.sum(F.col("_due").cast("long")).alias("n"),
+            {"op": "adapt_rates", "aimd_batch_id": new_wm},
+        )
+        return {"hosts_repaced": n, "folded_through_batch": new_wm}
+
     # -- one micro-batch -----------------------------------------------------------
 
     def _run_batch(self, batch_id: int, active: DataFrame, docs: DataFrame) -> int:
@@ -713,8 +867,14 @@ class CrawlEngine:
         # small-batch wall-clock is made of (Catalyst + stage scheduling,
         # not data).
         pending_snap = self.pending.current_snapshot()
-        slim = s.budget_ms is None and (
-            pending_snap is None or not pending_snap.data_files
+        # adaptive mode always runs the full deferral machinery: failed
+        # fetches re-enter through the pending table, so the "pending is
+        # dead code" premise of the slim path does not hold
+        adaptive = s.adaptive is not None and s.transport is not None
+        slim = (
+            s.budget_ms is None
+            and not adaptive
+            and (pending_snap is None or not pending_snap.data_files)
         )
         if slim:
             pending = pending_hosts = None
@@ -808,15 +968,35 @@ class CrawlEngine:
                 if slim
                 else self.body_cache.read(self.spark)
             )
+            wave1_in = anti_pending(pages)
+            if adaptive:
+                # a pending idx-0 row is a FAILED page fetch (budget
+                # deferrals never defer idx 0) — its body is not in the
+                # cache, so the page must be REFETCHED, not cache-resumed
+                pend_page_urls = pending.filter(
+                    F.col("idx_in_page") == 0
+                ).select("doc_id")
+                wave1_in = wave1_in.unionByName(
+                    pages.join(pend_page_urls, "doc_id", "left_semi")
+                )
             fetched_fresh = fetcher.fetch_batch(
-                anti_pending(pages).withColumn("slot_ms", F.lit(0).cast("long")),
+                wave1_in.withColumn("slot_ms", F.lit(0).cast("long")),
                 s.transport,
+                record_outcomes=adaptive,
             ).drop("slot_ms", "sent_at_ms")
             if not slim:
-                resumed = (
-                    pages.join(pending_hosts, "hostname", "left_semi")
-                    .join(cache.select("doc_id", "spans"), "doc_id", "left")
+                resumed = pages.join(pending_hosts, "hostname", "left_semi")
+                if adaptive:
+                    resumed = resumed.join(pend_page_urls, "doc_id", "left_anti")
+                resumed = resumed.join(
+                    cache.select("doc_id", "spans"), "doc_id", "left"
                 )
+                if adaptive:
+                    # cache-served: no wire hit, no attempt — NULL outcome
+                    # keeps these rows out of the fetch_log
+                    resumed = resumed.withColumn(
+                        "fetch_ok", F.lit(None).cast("boolean")
+                    )
                 fetched_fresh = fetched_fresh.unionByName(resumed)
             # localCheckpoint (eager): materializes the wave NOW and cuts
             # the lineage, so no downstream branch re-evaluation can ever
@@ -882,7 +1062,22 @@ class CrawlEngine:
             F.lit(0).alias("idx_in_page"),
             "effective_rate_ms", "host_bucket", "doc_id",
         )
-        all_fetches = page_fetches.unionByName(anti_pending(all_topic_fetches))
+        if adaptive:
+            # a retried-page host (pending idx-0 row) discovers its topics
+            # only NOW — exclude fresh topic fetches only for hosts whose
+            # topic list was already enumerated into pending (idx>0 rows);
+            # non-adaptive pending rows are topics-only, where this reduces
+            # to the plain pending-host anti-join below
+            pend_topic_hosts = (
+                pending.filter(F.col("idx_in_page") > 0)
+                .select("hostname").distinct()
+            )
+            topic_sched = all_topic_fetches.join(
+                pend_topic_hosts, "hostname", "left_anti"
+            )
+        else:
+            topic_sched = anti_pending(all_topic_fetches)
+        all_fetches = page_fetches.unionByName(topic_sched)
         if not slim:
             all_fetches = all_fetches.unionByName(
                 pending.select(*[f.name for f in PENDING.fields])
@@ -906,12 +1101,14 @@ class CrawlEngine:
         # forge/gitea/src/lib.rs:74-172). idx 0 always schedules at slot 0,
         # so the carried rows are topic fetches only and progress is
         # guaranteed for any budget > 0.
+        pending_out = None
+        failed_ids = None
         if slim:
             # budget None ⇒ nothing defers, by construction of split_by_budget
             deferred_hosts = None
             sched_repo_rows = repo_rows.persist()
             topic_docs = all_topic_fetches
-        else:
+        elif not adaptive:
             deferred_hosts = deferred.select("hostname").distinct()
             sched_repo_rows = repo_rows.join(
                 deferred_hosts, "hostname", "left_anti"
@@ -923,6 +1120,9 @@ class CrawlEngine:
             topic_docs = all_topic_fetches.join(
                 deferred_hosts, "hostname", "left_anti"
             )
+        # adaptive: deferred_hosts/topic_docs are derived AFTER the topic
+        # wave, once fetch outcomes exist — a transport fault defers its
+        # host exactly like a budget deferral (retry via pending)
         if s.transport is not None:
             # wave 2: real topic fetches, honoring the token-bucket slots
             # (slot i·rate relative to the wave start — spacing is always
@@ -934,8 +1134,45 @@ class CrawlEngine:
 
             # same durability contract as the page wave above
             fetched_topics = fetcher.fetch_batch(
-                scheduled.filter(F.col("idx_in_page") > 0), s.transport
+                scheduled.filter(F.col("idx_in_page") > 0),
+                s.transport,
+                record_outcomes=adaptive,
             ).localCheckpoint(eager=True)
+            if adaptive:
+                # transport faults (fetch_ok=false): the row re-enters via
+                # the pending table and retries next batch; cache-served
+                # rows (NULL outcome) never re-fetch. The pending overwrite
+                # carries budget deferrals ∪ failures; lineage's
+                # deferred_by_politeness stays budget-only (failures are
+                # the fetch_log's story, not a politeness event).
+                failed_rows = (
+                    fetched_pages.filter(~F.col("fetch_ok"))
+                    .select(
+                        "hostname", "forge_id",
+                        F.col("next_page").cast("int").alias("page"),
+                        F.lit(0).cast("int").alias("idx_in_page"),
+                        "effective_rate_ms", "host_bucket", "doc_id",
+                    )
+                    .unionByName(
+                        fetched_topics.filter(~F.col("fetch_ok")).select(
+                            "hostname", "forge_id",
+                            F.col("page").cast("int").alias("page"),
+                            F.col("idx_in_page").cast("int").alias("idx_in_page"),
+                            "effective_rate_ms", "host_bucket", "doc_id",
+                        )
+                    )
+                )
+                failed_ids = failed_rows.select("doc_id")
+                pending_out = deferred.select(
+                    *[f.name for f in PENDING.fields]
+                ).unionByName(failed_rows.select(*[f.name for f in PENDING.fields]))
+                deferred_hosts = pending_out.select("hostname").distinct()
+                sched_repo_rows = repo_rows.join(
+                    deferred_hosts, "hostname", "left_anti"
+                ).persist()
+                topic_docs = all_topic_fetches.join(
+                    deferred_hosts, "hostname", "left_anti"
+                )
             bodies = (
                 fetched_topics.select("doc_id", "spans")
                 .unionByName(cache.select("doc_id", "spans"))
@@ -1132,8 +1369,17 @@ class CrawlEngine:
 
         # 7. visit log (pure-function crawl order evidence): every scheduled
         # fetch was actually performed this batch and is logged exactly once
-        # — carried-over rows log in the batch that finally schedules them
-        visits = scheduled.select(
+        # — carried-over rows log in the batch that finally schedules them.
+        # Adaptive mode: a FAILED fetch completes nothing — it logs in the
+        # batch where its retry succeeds, so the visit log stays exactly-
+        # once per URL per cycle whatever the fault pattern (the failed
+        # attempt itself is the fetch_log's record).
+        completed_sched = (
+            scheduled.join(failed_ids, "doc_id", "left_anti")
+            if failed_ids is not None
+            else scheduled
+        )
+        visits = completed_sched.select(
             F.lit(batch_id).alias("batch_id"),
             "forge_id", "hostname", "page", "idx_in_page", "doc_id",
         )
@@ -1160,7 +1406,8 @@ class CrawlEngine:
             else confirmed
         )
         tagged = (
-            _tagged(scheduled, "f", True)
+            # adaptive: 'fetched' counts completed calls, like the visit log
+            _tagged(completed_sched, "f", True)
             # user candidates count post-keep-first, repo candidates
             # pre-keep-first — the reference's dedup accounting; both read
             # from already-persisted intermediates, no recompute
@@ -1292,16 +1539,58 @@ class CrawlEngine:
                 F.col("rho").cast("int").alias("hll_rho"),
             )
             parts.append((self.host_hll, regs, "append"))
+        if adaptive:
+            # per-attempt outcomes for the AIMD controller: one row per
+            # WIRE HIT this batch (cache-served rows carry a NULL outcome
+            # and are excluded). ts is a deterministic per-host ordering
+            # key — (batch, page, idx) encoded into one long, never wall
+            # time — so the cycle-boundary fold replays identically.
+            att = (
+                fetched_pages.filter(F.col("fetch_ok").isNotNull())
+                .select(
+                    "hostname",
+                    (F.col("next_page").cast("long") * F.lit(1_000_000)).alias(
+                        "__o"
+                    ),
+                    F.col("fetch_ok").alias("ok"),
+                )
+                .unionByName(
+                    fetched_topics.select(
+                        "hostname",
+                        (
+                            F.col("page").cast("long") * F.lit(1_000_000)
+                            + F.col("idx_in_page")
+                        ).alias("__o"),
+                        F.col("fetch_ok").alias("ok"),
+                    )
+                )
+                .select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    "hostname",
+                    (
+                        F.lit(batch_id).cast("long") * F.lit(1_000_000_000_000)
+                        + F.col("__o")
+                    ).alias("ts"),
+                    "ok",
+                )
+            )
+            parts.append((self.fetch_log, att, "append"))
         parts += [
             (self.visit_log, visits, "append"),
             (self.lineage, lineage, "append"),
         ]
         if not slim:
             # slim mode never defers, so pending stays the empty table it
-            # already is — no need to overwrite it every batch
+            # already is — no need to overwrite it every batch. Adaptive:
+            # budget deferrals ∪ failed fetches (the retry carryover).
             parts.append(
-                (self.pending, deferred.select(*[f.name for f in PENDING.fields]),
-                 "overwrite")
+                (
+                    self.pending,
+                    pending_out
+                    if pending_out is not None
+                    else deferred.select(*[f.name for f in PENDING.fields]),
+                    "overwrite",
+                )
             )
         parts.append((self.state, new_state, "overwrite"))
         extra = {
