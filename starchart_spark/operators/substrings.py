@@ -124,3 +124,107 @@ def remove_duplicated_substrings(
         F.col(id_col),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+def suffix_ranks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Distributed token-level corpus SUFFIX ARRAY by prefix doubling —
+    the actual structure Lee et al. build (their `deduplicate-text-
+    datasets` tool constructs a corpus suffix array to find arbitrary-
+    length repeats; :func:`remove_duplicated_substrings` above is the
+    fixed-L practical form, this is the general one).
+
+    Returns ``(id, pos, srank)``: ``srank`` is the 1-based DENSE rank of
+    the suffix ``tokens[pos:]`` among ALL suffixes of ALL documents,
+    token-wise lexicographic with a shorter-prefix-sorts-first rule;
+    identical suffixes (across documents) share a rank — exactly
+    ``dense_rank() over (order by suffix)``, computable by any engine
+    that can materialize the suffix strings, which is the oracle and
+    precisely what this plan never does.
+
+    Algorithm (Manber & Myers 1990 rank doubling, the Larsson–Sadakane
+    formulation): round 0 ranks single tokens; round k re-ranks the pair
+    ``(rank[pos], rank[pos + 2^k] or 0)`` — 0 is the end sentinel,
+    smaller than every real rank, which encodes shorter-prefix-first.
+    After ``ceil(log2(max_len))`` rounds the rank order equals full
+    suffix order. Every round is ONE self-join at gap ``2^k`` plus ONE
+    dense-rank of the distinct pair dim via the skew-proof two-pass
+    ranker (``skew.ordered_prefix`` — a mega-document's suffixes span
+    many range partitions; no single-task global sort anywhere), with a
+    ``localCheckpoint`` truncating lineage per round. Early exit when
+    all ranks are distinct (max rank == suffix count — ties can persist
+    only while equal suffixes exist).
+
+    100 TB shape: rows are three longs end-to-end (the suffix CONTENT is
+    never shuffled — that is the whole point of rank doubling: Lee et
+    al.'s single-node build tops out at RAM; this is O(log L) shuffles
+    of 24-byte rows). ``max_tokens`` truncates documents first when only
+    bounded-depth order is needed (suffixes then end at the truncation
+    point on both engines).
+    """
+    from starchart_spark.operators import skew
+
+    toks = token_positions(df, text_col, id_col)
+    if max_tokens is not None:
+        toks = toks.filter(F.col("pos") < max_tokens)
+    toks = toks.select(
+        F.col(id_col).alias("__id"),
+        F.col("pos").cast("int").alias("pos"),
+        "tok",
+    )
+
+    # round 0: dense rank of single tokens (distinct dim → skew-proof
+    # global rank → join back; the dim carries each value once, so the
+    # row rank IS the dense rank)
+    tok_dim = toks.select("tok").distinct().withColumn("__one", F.lit(1))
+    tok_ranked = skew.ordered_prefix(tok_dim, "tok", "__one", rank_col="__r").select(
+        "tok", "__r"
+    )
+    cur = (
+        toks.join(tok_ranked, "tok")
+        .select("__id", "pos", F.col("__r").cast("long").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+
+    # two driver scalars, once: total suffixes (early-exit target) and the
+    # doubling depth bound
+    row = cur.agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx")
+    ).collect()[0]
+    n_suffixes, max_len = int(row["n"]), int(row["mx"]) + 1
+    gap = 1
+    while gap < max_len:
+        partner = cur.select(
+            "__id",
+            (F.col("pos") - gap).cast("int").alias("pos"),
+            F.col("r").alias("r2"),
+        )
+        pairs = cur.join(partner, ["__id", "pos"], "left").select(
+            "__id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
+        )
+        pair_dim = (
+            pairs.select("r", "r2").distinct().withColumn("__one", F.lit(1))
+        )
+        pair_ranked = skew.ordered_prefix(
+            pair_dim, ["r", "r2"], "__one", rank_col="__nr"
+        ).select("r", "r2", "__nr")
+        cur = (
+            pairs.join(pair_ranked, ["r", "r2"])
+            .select("__id", "pos", F.col("__nr").cast("long").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        gap *= 2
+        if gap < max_len:
+            # ranks all distinct ⇒ order is final; equal suffixes keep
+            # their shared rank to the end, so this can only fire early
+            # when no full-suffix duplicates remain unresolved
+            mx = cur.agg(F.max("r").alias("m")).collect()[0]["m"]
+            if int(mx) == n_suffixes:
+                break
+    return cur.select(
+        F.col("__id").alias(id_col), "pos", F.col("r").alias("srank")
+    )

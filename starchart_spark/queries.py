@@ -1849,6 +1849,36 @@ FROM base b LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_suffix_array(spark, sf_dir):
+    """Distributed corpus SUFFIX ARRAY by prefix doubling (Manber & Myers
+    1990 rank doubling) — the general structure behind Lee et al.'s
+    arbitrary-length substring dedup. Output (doc_id, pos, srank):
+    dense rank of the suffix tokens[pos:] over ALL suffixes of ALL docs;
+    identical cross-doc suffixes share a rank. O(log L) shuffles of
+    24-byte rows; the suffix CONTENT is never materialized — the oracle
+    builds every suffix string and dense_ranks it, which is exactly the
+    single-node cost this plan avoids."""
+    from starchart_spark.operators import substrings
+
+    return substrings.suffix_ranks(_t(spark, sf_dir, "documents"))
+
+
+SQL_SUFFIX_ARRAY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+suf AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         array_to_string(t[i:], chr(1)) AS s
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+)
+SELECT doc_id, pos, CAST(dense_rank() OVER (ORDER BY s) AS BIGINT) AS srank
+FROM suf
+"""
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet's quality signal, Spark-native: per-document bigram
     cross-entropy under an add-0.5-smoothed model trained on the corpus
@@ -4675,6 +4705,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "suffix_array": (q_suffix_array, SQL_SUFFIX_ARRAY),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),

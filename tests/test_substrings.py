@@ -79,3 +79,62 @@ def test_partition_invariance(spark):
     )
     assert a == b
     assert all(t == str(i) for i, t in a)
+
+
+# -- suffix array (prefix doubling) ------------------------------------------
+
+
+def _brute_suffix_ranks(rows):
+    """Python oracle: dense rank of suffix token-tuples (tuple comparison
+    IS token-wise lexicographic, shorter-prefix-first)."""
+    sufs = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        for pos in range(len(toks)):
+            sufs[(doc_id, pos)] = tuple(toks[pos:])
+    order = sorted(set(sufs.values()))
+    rank = {s: i + 1 for i, s in enumerate(order)}
+    return {k: rank[v] for k, v in sufs.items()}
+
+
+def _sa(spark, rows, **kw):
+    out = substrings.suffix_ranks(_docs(spark, rows), **kw)
+    return {(r["doc_id"], r["pos"]): r["srank"] for r in out.collect()}
+
+
+def test_suffix_ranks_match_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "ab", "ba", "aa", "c"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 17))))
+        for i in range(12)
+    ]
+    assert _sa(spark, rows) == _brute_suffix_ranks(rows)
+
+
+def test_identical_docs_share_every_rank(spark):
+    rows = [(1, "x y x z"), (2, "x y x z"), (3, "y x z q")]
+    got = _sa(spark, rows)
+    exp = _brute_suffix_ranks(rows)
+    assert got == exp
+    # cross-doc equal suffixes share a DENSE rank
+    for pos in range(4):
+        assert got[(1, pos)] == got[(2, pos)]
+    # and "x z" (doc1 pos2) == "x z" nowhere in doc3 ("x z q" differs)
+    assert got[(1, 2)] != got[(3, 1)]
+
+
+def test_prefix_sorts_before_extension(spark):
+    # suffix "a" < "a a" < "a a a": shorter prefix first (end sentinel)
+    rows = [(1, "a a a")]
+    got = _sa(spark, rows)
+    assert got == {(1, 2): 1, (1, 1): 2, (1, 0): 3}
+
+
+def test_max_tokens_truncates_consistently(spark):
+    rows = [(1, "p q r s t u v w"), (2, "p q r different tail here x y")]
+    got = _sa(spark, rows, max_tokens=3)
+    exp = _brute_suffix_ranks([(1, "p q r"), (2, "p q r")])
+    assert got == exp
