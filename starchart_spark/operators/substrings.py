@@ -126,6 +126,89 @@ def remove_duplicated_substrings(
     )
 
 
+def _prepped_tokens(
+    df: DataFrame, text_col: str, id_col: str, max_tokens: int | None
+) -> DataFrame:
+    """(__id, pos:int, tok) — :func:`token_positions` with the optional
+    truncation applied and columns named for the doubling rounds."""
+    toks = token_positions(df, text_col, id_col)
+    if max_tokens is not None:
+        toks = toks.filter(F.col("pos") < max_tokens)
+    return toks.select(
+        F.col(id_col).alias("__id"),
+        F.col("pos").cast("int").alias("pos"),
+        "tok",
+    )
+
+
+def _suffix_rank_levels(toks: DataFrame) -> tuple[list[DataFrame], int, int]:
+    """Prefix-doubling rank rounds, all levels kept.
+
+    Returns ``(levels, n_suffixes, max_len)``: ``levels[k]`` is
+    ``(__id, pos, r)`` where ``r`` is the 1-based dense rank of the
+    CLIPPED prefix ``tokens[pos : pos + 2**k]`` (clipped at the document
+    end; equal ranks ⇔ equal clipped token sequences, length included).
+    The last level is full suffix order: either ``2**k >= max_len``, or
+    the early exit fired — all ranks distinct at level ``j`` implies
+    every pairwise suffix LCP is < ``2**j`` (a shared length-``2**j``
+    prefix would be a shared rank), so higher levels can never order
+    anything further AND the greedy LCP walk in
+    :func:`longest_repeated_prefix` needs no level above ``j``.
+
+    Each level is ``localCheckpoint``-ed (the walk re-reads every level;
+    lineage must not re-run earlier rounds).
+    """
+    from starchart_spark.operators import skew
+
+    # round 0: dense rank of single tokens (distinct dim → skew-proof
+    # global rank → join back; the dim carries each value once, so the
+    # row rank IS the dense rank)
+    tok_dim = toks.select("tok").distinct().withColumn("__one", F.lit(1))
+    tok_ranked = skew.ordered_prefix(tok_dim, "tok", "__one", rank_col="__r").select(
+        "tok", "__r"
+    )
+    cur = (
+        toks.join(tok_ranked, "tok")
+        .select("__id", "pos", F.col("__r").cast("long").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [cur]
+
+    # two driver scalars, once: total suffixes (early-exit target) and the
+    # doubling depth bound
+    row = cur.agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx")).collect()[0]
+    n_suffixes, max_len = int(row["n"]), int(row["mx"]) + 1
+    gap = 1
+    while gap < max_len:
+        partner = cur.select(
+            "__id",
+            (F.col("pos") - gap).cast("int").alias("pos"),
+            F.col("r").alias("r2"),
+        )
+        pairs = cur.join(partner, ["__id", "pos"], "left").select(
+            "__id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
+        )
+        pair_dim = pairs.select("r", "r2").distinct().withColumn("__one", F.lit(1))
+        pair_ranked = skew.ordered_prefix(
+            pair_dim, ["r", "r2"], "__one", rank_col="__nr"
+        ).select("r", "r2", "__nr")
+        cur = (
+            pairs.join(pair_ranked, ["r", "r2"])
+            .select("__id", "pos", F.col("__nr").cast("long").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(cur)
+        gap *= 2
+        if gap < max_len:
+            # ranks all distinct ⇒ order is final; equal suffixes keep
+            # their shared rank to the end, so this can only fire early
+            # when no full-suffix duplicates remain unresolved
+            mx = cur.agg(F.max("r").alias("m")).collect()[0]["m"]
+            if int(mx) == n_suffixes:
+                break
+    return levels, n_suffixes, max_len
+
+
 def suffix_ranks(
     df: DataFrame,
     text_col: str = "text",
@@ -166,65 +249,196 @@ def suffix_ranks(
     bounded-depth order is needed (suffixes then end at the truncation
     point on both engines).
     """
-    from starchart_spark.operators import skew
-
-    toks = token_positions(df, text_col, id_col)
-    if max_tokens is not None:
-        toks = toks.filter(F.col("pos") < max_tokens)
-    toks = toks.select(
-        F.col(id_col).alias("__id"),
-        F.col("pos").cast("int").alias("pos"),
-        "tok",
+    toks = _prepped_tokens(df, text_col, id_col, max_tokens)
+    levels, _, _ = _suffix_rank_levels(toks)
+    return levels[-1].select(
+        F.col("__id").alias(id_col), "pos", F.col("r").alias("srank")
     )
 
-    # round 0: dense rank of single tokens (distinct dim → skew-proof
-    # global rank → join back; the dim carries each value once, so the
-    # row rank IS the dense rank)
-    tok_dim = toks.select("tok").distinct().withColumn("__one", F.lit(1))
-    tok_ranked = skew.ordered_prefix(tok_dim, "tok", "__one", rank_col="__r").select(
-        "tok", "__r"
+
+def longest_repeated_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Per suffix, the length of its longest prefix that occurs at ≥ 2
+    distinct corpus positions — ``(id, pos, lrp)``. This is the quantity
+    Lee et al.'s suffix-array dedup actually consumes: a duplicated run
+    of length ℓ starts at position p iff ``lrp(p) = ℓ``, at ANY ℓ, with
+    no fixed window parameter.
+
+    Classically lrp(s) = max(LCP with the two suffix-order neighbors).
+    Distributed form over the prefix-doubling levels (the per-level rank
+    tables double as the LCP oracle — the textbook O(log n) LCP query,
+    run data-parallel over all neighbor pairs at once):
+
+    1. group the final ranks: duplicated ranks (cnt ≥ 2) are whole-suffix
+       repeats — lrp = suffix length, no walk needed; every DISTINCT rank
+       elects one representative (members of a rank are identical
+       strings, so any representative's LCPs are the rank's).
+    2. pair consecutive distinct ranks (dense ⇒ r, r+1 adjacent) and walk
+       levels high→low: at level k, if both shifted positions
+       ``pos + cur`` carry EQUAL level-k ranks (equal clipped
+       length-``2**k`` prefixes), add ``2**k`` to ``cur``. Greedy binary
+       decomposition ⇒ ``cur`` ends at the true LCP; the one absorbing
+       case — both remainders identical-to-end — would mean the full
+       suffixes were identical (impossible across distinct ranks), and
+       ``least(cur, len_a, len_b)`` caps it anyway.
+    3. per suffix: ``lrp = greatest(cnt≥2 ? len : 0, lcp(prev), lcp(next))``.
+
+    Cost: the walk is 2 narrow left joins per level over the
+    distinct-rank pair table — O(log L) shuffles of ~40-byte rows, same
+    scaling class as the build itself; no suffix content is ever
+    materialized or shuffled. Each level re-reads a checkpointed 24-byte
+    rank table.
+    """
+    toks = _prepped_tokens(df, text_col, id_col, max_tokens)
+    levels, _, _ = _suffix_rank_levels(toks)
+    final = levels[-1]
+
+    lens = final.groupBy("__id").agg((F.max("pos") + 1).alias("__dl"))
+    fr = (
+        final.join(lens, "__id")
+        .withColumn("slen", (F.col("__dl") - F.col("pos")).cast("int"))
+        .drop("__dl")
     )
-    cur = (
-        toks.join(tok_ranked, "tok")
-        .select("__id", "pos", F.col("__r").cast("long").alias("r"))
+    stats = (
+        fr.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("__id", "pos", "slen")).alias("rep"),
+        )
+        .select(
+            "r",
+            "cnt",
+            F.col("rep.__id").alias("rid"),
+            F.col("rep.pos").alias("rpos"),
+            F.col("rep.slen").alias("rlen"),
+        )
         .localCheckpoint(eager=True)
     )
 
-    # two driver scalars, once: total suffixes (early-exit target) and the
-    # doubling depth bound
-    row = cur.agg(
-        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx")
-    ).collect()[0]
-    n_suffixes, max_len = int(row["n"]), int(row["mx"]) + 1
-    gap = 1
-    while gap < max_len:
-        partner = cur.select(
-            "__id",
-            (F.col("pos") - gap).cast("int").alias("pos"),
-            F.col("r").alias("r2"),
+    nxt = stats.select(
+        (F.col("r") - 1).alias("r"),
+        F.col("rid").alias("idb"),
+        F.col("rpos").alias("posb"),
+        F.col("rlen").alias("lenb"),
+    )
+    pairs = (
+        stats.select(
+            "r",
+            F.col("rid").alias("ida"),
+            F.col("rpos").alias("posa"),
+            F.col("rlen").alias("lena"),
         )
-        pairs = cur.join(partner, ["__id", "pos"], "left").select(
-            "__id", "pos", "r", F.coalesce("r2", F.lit(0)).alias("r2")
+        .join(nxt, "r")
+        .withColumn("cur", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+
+    for k in range(len(levels) - 1, -1, -1):
+        step = 1 << k
+        a = levels[k].select(
+            F.col("__id").alias("__aid"),
+            F.col("pos").alias("__apos"),
+            F.col("r").alias("__ar"),
         )
-        pair_dim = (
-            pairs.select("r", "r2").distinct().withColumn("__one", F.lit(1))
+        b = levels[k].select(
+            F.col("__id").alias("__bid"),
+            F.col("pos").alias("__bpos"),
+            F.col("r").alias("__br"),
         )
-        pair_ranked = skew.ordered_prefix(
-            pair_dim, ["r", "r2"], "__one", rank_col="__nr"
-        ).select("r", "r2", "__nr")
-        cur = (
-            pairs.join(pair_ranked, ["r", "r2"])
-            .select("__id", "pos", F.col("__nr").cast("long").alias("r"))
-            .localCheckpoint(eager=True)
+        joined = (
+            pairs.withColumn("__ka", F.col("posa") + F.col("cur"))
+            .withColumn("__kb", F.col("posb") + F.col("cur"))
+            .join(
+                a,
+                (F.col("ida") == F.col("__aid")) & (F.col("__ka") == F.col("__apos")),
+                "left",
+            )
+            .join(
+                b,
+                (F.col("idb") == F.col("__bid")) & (F.col("__kb") == F.col("__bpos")),
+                "left",
+            )
         )
-        gap *= 2
-        if gap < max_len:
-            # ranks all distinct ⇒ order is final; equal suffixes keep
-            # their shared rank to the end, so this can only fire early
-            # when no full-suffix duplicates remain unresolved
-            mx = cur.agg(F.max("r").alias("m")).collect()[0]["m"]
-            if int(mx) == n_suffixes:
-                break
-    return cur.select(
-        F.col("__id").alias(id_col), "pos", F.col("r").alias("srank")
+        hit = (
+            F.col("__ar").isNotNull()
+            & F.col("__br").isNotNull()
+            & (F.col("__ar") == F.col("__br"))
+        )
+        pairs = joined.select(
+            "r",
+            "ida",
+            "posa",
+            "lena",
+            "idb",
+            "posb",
+            "lenb",
+            (F.col("cur") + F.when(hit, F.lit(step)).otherwise(F.lit(0)))
+            .cast("int")
+            .alias("cur"),
+        ).localCheckpoint(eager=True)
+
+    ln = pairs.select("r", F.least("cur", "lena", "lenb").alias("lcp_n"))
+    lp = ln.select((F.col("r") + 1).alias("r"), F.col("lcp_n").alias("lcp_p"))
+    return (
+        fr.join(stats.select("r", "cnt"), "r")
+        .join(ln, "r", "left")
+        .join(lp, "r", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "pos",
+            F.greatest(
+                F.when(F.col("cnt") >= 2, F.col("slen")).otherwise(F.lit(0)),
+                F.coalesce("lcp_n", F.lit(0)),
+                F.coalesce("lcp_p", F.lit(0)),
+            )
+            .cast("long")
+            .alias("lrp"),
+        )
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    length: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int | None = None,
+) -> DataFrame:
+    """Token positions covered by SOME duplicated run of ≥ ``length``
+    tokens — ``(id, pos)``, the suffix-array route to exactly the set
+    :func:`remove_duplicated_substrings` cuts (at ``min_count=2``): a
+    position is covered iff a suffix start s ≤ pos has
+    ``lrp(s) ≥ length`` and ``pos < s + lrp(s)`` — the union of the
+    ``[s, s + lrp)`` intervals, threshold applied per start.
+
+    Interval union = one per-document running max of interval ends over
+    ``pos`` ascending. The window is doc-keyed single-task per doc —
+    fine because DOCUMENT LENGTH is bounded at 100 TB (the scale axis is
+    document COUNT); the corpus-wide heavy lifting already happened in
+    the rank rounds.
+
+    Equivalence note (tested): a duplicated run of length ℓ ≥ L contains
+    ℓ−L+1 duplicated L-grams whose windows tile it, so this set equals
+    the duplicated-L-gram coverage — which is the independent oracle
+    formulation.
+    """
+    from pyspark.sql import Window
+
+    lrp_df = longest_repeated_prefix(df, text_col, id_col, max_tokens)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_end = F.max(
+        F.when(F.col("lrp") >= length, F.col("pos") + F.col("lrp"))
+    ).over(w)
+    return (
+        lrp_df.withColumn("__end", run_end)
+        .filter(F.col("__end") > F.col("pos"))
+        .select(id_col, "pos")
     )

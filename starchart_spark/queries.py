@@ -1879,6 +1879,92 @@ FROM suf
 """
 
 
+def q_repeated_prefix(spark, sf_dir):
+    """Longest repeated prefix per suffix — the arbitrary-length quantity
+    Lee et al.'s suffix-array dedup consumes (lrp(p) = length of the
+    longest token run starting at p that occurs elsewhere in the corpus,
+    including a second time in the same document). Spark: prefix-doubling
+    rank levels as a data-parallel LCP oracle over rank-adjacent pairs —
+    O(log L) narrow joins, suffix content never materialized. Oracle:
+    materialize every suffix as a token LIST, dense-rank it, token-wise
+    LCP against the lexicographic neighbors plus full length for
+    duplicated suffixes — the textbook single-node formulation."""
+    from starchart_spark.operators import substrings
+
+    return substrings.longest_repeated_prefix(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPEATED_PREFIX = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+suf AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[i:] AS s
+  FROM toks, LATERAL unnest(generate_series(1, len(t))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, pos, s,
+         dense_rank() OVER (ORDER BY s) AS r,
+         count(*) OVER (PARTITION BY s) AS cnt
+  FROM suf
+),
+dist AS (SELECT r, s FROM ranked GROUP BY r, s),
+nbr AS (SELECT r, s, lead(s) OVER (ORDER BY r) AS s2 FROM dist),
+lcps AS (
+  SELECT r,
+         CASE WHEN s2 IS NULL THEN 0
+              -- list_position yields 0 (not NULL) when no mismatch exists
+              -- within the min length (one suffix prefixes the other)
+              ELSE coalesce(
+                nullif(list_position(
+                  list_transform(generate_series(1, least(len(s), len(s2))),
+                                 i -> s[i] <> s2[i]),
+                  true), 0) - 1,
+                least(len(s), len(s2)))
+         END AS lcp_n
+  FROM nbr
+)
+SELECT k.doc_id, k.pos,
+       CAST(greatest(CASE WHEN k.cnt >= 2 THEN len(k.s) ELSE 0 END,
+                     coalesce(ln.lcp_n, 0), coalesce(lp.lcp_n, 0)) AS BIGINT)
+         AS lrp
+FROM ranked k
+LEFT JOIN lcps ln ON ln.r = k.r
+LEFT JOIN lcps lp ON lp.r = k.r - 1
+"""
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Positions covered by some duplicated run of >= 8 tokens, computed
+    the suffix-array way (lrp-interval union) and gated against the
+    INDEPENDENT formulation: duplicated fixed-8-gram coverage (a run of
+    length l >= L is tiled by its l-L+1 duplicated L-grams). Two different
+    algorithms, one answer — the cross-formulation exactness gate."""
+    from starchart_spark.operators import substrings
+
+    return substrings.repeated_spans(_t(spark, sf_dir, "documents"), length=8)
+
+
+SQL_REPEATED_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE trim(text) <> ''
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS INTEGER) AS start,
+         array_to_string(t[i:i+7], chr(1)) AS g
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i)
+),
+freq AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)
+SELECT DISTINCT doc_id, CAST(start + j AS INTEGER) AS pos
+FROM grams JOIN freq USING (g),
+     LATERAL unnest(generate_series(0, 7)) AS v(j)
+"""
+
+
 def q_lm_score(spark, sf_dir):
     """CCNet's quality signal, Spark-native: per-document bigram
     cross-entropy under an add-0.5-smoothed model trained on the corpus
@@ -4706,6 +4792,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "proximity_search": (q_proximity_search, SQL_PROXIMITY_SEARCH),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "suffix_array": (q_suffix_array, SQL_SUFFIX_ARRAY),
+    "repeated_prefix": (q_repeated_prefix, SQL_REPEATED_PREFIX),
+    "repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
     "nb_classify": (q_nb_classify, SQL_NB_CLASSIFY),
     "vocab_encode": (q_vocab_encode, SQL_VOCAB_ENCODE),
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),

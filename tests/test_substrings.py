@@ -138,3 +138,128 @@ def test_max_tokens_truncates_consistently(spark):
     got = _sa(spark, rows, max_tokens=3)
     exp = _brute_suffix_ranks([(1, "p q r"), (2, "p q r")])
     assert got == exp
+
+
+# -- longest repeated prefix / repeated spans ---------------------------------
+
+
+def _brute_lrp(rows):
+    """Python oracle: per suffix, longest prefix occurring at >= 2 distinct
+    corpus positions = max LCP against every OTHER suffix (identical
+    suffixes give LCP = full length)."""
+    sufs = []
+    for doc_id, text in rows:
+        toks = text.split()
+        for pos in range(len(toks)):
+            sufs.append((doc_id, pos, tuple(toks[pos:])))
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    out = {}
+    for i, (d, p, s) in enumerate(sufs):
+        out[(d, p)] = max(
+            (lcp(s, s2) for j, (_, _, s2) in enumerate(sufs) if j != i), default=0
+        )
+    return out
+
+
+def _brute_cover(rows, length):
+    """Python oracle for repeated_spans: duplicated-L-gram coverage."""
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        per_doc[doc_id] = toks
+        for i in range(len(toks) - length + 1):
+            grams[tuple(toks[i : i + length])] += 1
+    covered = set()
+    for doc_id, toks in per_doc.items():
+        for i in range(len(toks) - length + 1):
+            if grams[tuple(toks[i : i + length])] >= 2:
+                covered.update((doc_id, i + j) for j in range(length))
+    return covered
+
+
+def _lrp(spark, rows, **kw):
+    out = substrings.longest_repeated_prefix(_docs(spark, rows), **kw)
+    return {(r["doc_id"], r["pos"]): r["lrp"] for r in out.collect()}
+
+
+def test_lrp_matches_brute_force_random(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "ab"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 19))))
+        for i in range(10)
+    ]
+    assert _lrp(spark, rows) == _brute_lrp(rows)
+
+
+def test_lrp_identical_docs_full_length(spark):
+    rows = [(1, "q w e r t y"), (2, "q w e r t y"), (3, "zz")]
+    got = _lrp(spark, rows)
+    # every suffix of docs 1/2 is duplicated wholesale
+    for pos in range(6):
+        assert got[(1, pos)] == 6 - pos
+        assert got[(2, pos)] == 6 - pos
+    assert got[(3, 0)] == 0
+
+
+def test_lrp_cross_doc_partial_overlap(spark):
+    # "x y z" shared; doc tails diverge
+    rows = [(1, "x y z alpha"), (2, "x y z beta gamma")]
+    got = _lrp(spark, rows)
+    assert got[(1, 0)] == 3 and got[(2, 0)] == 3
+    assert got[(1, 1)] == 2 and got[(2, 1)] == 2
+    assert got[(1, 3)] == 0 and got[(2, 3)] == 0
+
+
+def test_lrp_within_doc_repeat(spark):
+    rows = [(1, "m n m n o")]
+    got = _lrp(spark, rows)
+    assert got == _brute_lrp(rows)
+    assert got[(1, 0)] == 2  # "m n" recurs at pos 2
+
+
+def test_repeated_spans_equals_gram_coverage(spark):
+    import random
+
+    rng = random.Random(23)
+    vocab = ["u", "v", "w"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 25))))
+        for i in range(8)
+    ]
+    for L in (3, 5):
+        got = {
+            (r["doc_id"], r["pos"])
+            for r in substrings.repeated_spans(
+                _docs(spark, rows), length=L
+            ).collect()
+        }
+        assert got == _brute_cover(rows, L)
+
+
+def test_repeated_spans_matches_removal_complement(spark):
+    # suffix-array coverage == exactly the tokens remove_duplicated_substrings
+    # cuts (two independent formulations of Lee et al.)
+    rows = [(1, "a w x y z b"), (2, "w x y z c d"), (3, "solo words only")]
+    cov = {
+        (r["doc_id"], r["pos"])
+        for r in substrings.repeated_spans(_docs(spark, rows), length=4).collect()
+    }
+    cleaned = _run(spark, rows, length=4)
+    for doc_id, text in rows:
+        toks = text.split()
+        kept = [t for i, t in enumerate(toks) if (doc_id, i) not in cov]
+        assert " ".join(kept) == cleaned[doc_id]
