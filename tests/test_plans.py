@@ -62,3 +62,30 @@ def test_consent_gate_broadcasts(spark):
     )
     plan = _plan(politeness.consent_gate(frontier, consent))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ordered_prefix_is_skew_proof(spark):
+    """The global scan/rank primitive under suffix_ranks / waterfill /
+    shuffle_positions: the corpus-sized sort must be the parallel range
+    partitioner; the only full-data window must be partitioned by the
+    range-partition id (never one task); the lone single-partition
+    exchange may feed only the per-partition OFFSET aggregate (<=
+    num_partitions rows); offsets come back broadcast."""
+    from starchart_spark.operators import skew
+
+    df = (
+        spark.range(1000)
+        .select(F.col("id").alias("k"))
+        .withColumn("__one", F.lit(1))
+    )
+    plan = _plan(skew.ordered_prefix(df, "k", "__one"))
+    assert "rangepartitioning" in plan
+    # every row_number window (the corpus-sized local rank) is __pid-keyed
+    for frag in plan.split("row_number() windowspecdefinition(")[1:]:
+        assert frag.startswith("__pid")
+    # a SinglePartition exchange is allowed ONLY under the tiny offsets
+    # aggregate: its child must be the HashAggregate over __pid
+    for frag in plan.split("Exchange SinglePartition")[1:]:
+        nxt = [ln for ln in frag.splitlines()[1:3] if ln.strip()]
+        assert any("HashAggregate(keys=[__pid" in ln for ln in nxt), plan
+    assert "BroadcastHashJoin" in plan
