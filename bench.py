@@ -449,7 +449,22 @@ def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dic
         if os.environ.get("STARCHART_BENCH_STAGED") == "1"
         else frontier_pipeline
     )
+    # ambient-state annotation (BENCH.md forensics protocol): a 3 s
+    # single-thread DRAM copy probe brackets the frontier reps so a reader
+    # of this JSON can place the run inside or outside the box's healthy
+    # 13-15 GB/s band without hunting through session notes. Annotation
+    # only — reps are never gated or discarded here.
+    def _dram_probe() -> float | None:
+        try:
+            import membw
+
+            return membw.measure(1)
+        except Exception:
+            return None
+
+    probe_pre = _dram_probe()
     reps = [pipeline(spark, n_urls) for _ in range(n_reps)]
+    probe_post = _dram_probe()
     stats = max(reps, key=lambda s: s["urls_per_sec"])
     # median-of-N reported alongside best-of-N (ADVICE r3 #4): the best
     # filters the box's documented ambient bursts, the median shows what a
@@ -472,6 +487,7 @@ def _run_once(sf_dir: str, cpus: int, n_urls: int, local_dir: str | None) -> dic
         "frontier": stats,
         "frontier_reps_urls_per_sec": [s["urls_per_sec"] for s in reps],
         "frontier_median_urls_per_sec": median_rate,
+        "dram_probe_gb_s": {"pre": probe_pre, "post": probe_post},
         "cpus": cpus,
     }
     spark.stop()
