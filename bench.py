@@ -170,6 +170,9 @@ HEADLINE_QUERIES = [
     "opic_scores",
     # exact-rational fairness over the AIMD rates: the fold + one 4-group agg
     "jain_fairness",
+    # round-5 session-15: exact-integer Lloyd k-means — per round ONE
+    # fused assign+partial-update Arrow pass (shuffle ≤ batches·k·d rows)
+    "kmeans_centroids",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

@@ -4707,6 +4707,76 @@ FROM c GROUP BY source, start_off // 512
 """
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """Exact-integer distributed Lloyd k-means (operators/kmeans.py): 3
+    rounds, k=8, over the embeddings corpus in BIGINT micro-units — the
+    lm_score/pagerank discipline applied to clustering, so the SAME
+    centroids come out on any partitioning or cluster size (each round is
+    one fused assign+partial-update Arrow pass; the shuffle carries
+    ≤ batches·k·d narrow rows). Long (cid, pos, c_u) output so the gate
+    hashes plain integers."""
+    from starchart_spark.operators import kmeans
+
+    return kmeans.kmeans(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
+def _sql_kmeans_centroids() -> str:
+    from starchart_spark.operators import kmeans
+
+    return kmeans.kmeans_sql(
+        "SELECT vec_id, embedding FROM embeddings", k=8, iters=3
+    )
+
+
+SQL_KMEANS_CENTROIDS = _sql_kmeans_centroids()
+
+
+def q_kmeans_sizes(spark, sf_dir):
+    """Cluster sizes after the same 3 exact-integer Lloyd rounds plus one
+    final assignment pass (kmeans.train_and_assign) — the composition a
+    deterministic curriculum-bucket / embedding-shard consumer runs. The
+    oracle extends the SAME kmeans_cte unroller by one assignment round,
+    so the recurrence cannot drift between the two entries."""
+    from starchart_spark.operators import kmeans
+
+    return kmeans.train_and_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
+def _sql_kmeans_sizes() -> str:
+    from starchart_spark.operators import kmeans
+
+    return kmeans.kmeans_sizes_sql(
+        "SELECT vec_id, embedding FROM embeddings", k=8, iters=3
+    )
+
+
+SQL_KMEANS_SIZES = _sql_kmeans_sizes()
+
+
+def q_kmeans_farthest(spark, sf_dir):
+    """Same exact-integer Lloyd recurrence under deterministic
+    farthest-first seeding (Gonzalez k-center heuristic — the k-means++
+    spread without RNG): seed 0 = smallest id, each next seed maximizes
+    the min int64 distance to the chosen set, ties to lowest id. k−1
+    seeding scans, each a broadcast + 1-row TakeOrdered."""
+    from starchart_spark.operators import kmeans
+
+    return kmeans.kmeans(
+        _t(spark, sf_dir, "embeddings"), k=6, iters=2, seed="farthest"
+    )
+
+
+def _sql_kmeans_farthest() -> str:
+    from starchart_spark.operators import kmeans
+
+    return kmeans.kmeans_sql(
+        "SELECT vec_id, embedding FROM embeddings", k=6, iters=2, seed="farthest"
+    )
+
+
+SQL_KMEANS_FARTHEST = _sql_kmeans_farthest()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4799,6 +4869,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bm25_rank": (q_bm25_rank, SQL_BM25_RANK),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "range_join": (q_range_join, SQL_RANGE_JOIN),
+    "kmeans_centroids": (q_kmeans_centroids, SQL_KMEANS_CENTROIDS),
+    "kmeans_sizes": (q_kmeans_sizes, SQL_KMEANS_SIZES),
+    "kmeans_farthest": (q_kmeans_farthest, SQL_KMEANS_FARTHEST),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
