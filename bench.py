@@ -173,6 +173,12 @@ HEADLINE_QUERIES = [
     # round-5 session-15: exact-integer Lloyd k-means — per round ONE
     # fused assign+partial-update Arrow pass (shuffle ≤ batches·k·d rows)
     "kmeans_centroids",
+    # round-5 session-16: exact global quantiles via the skew-proof
+    # ordered_prefix ranker (the two-pass range-partitioned sort path)
+    "doclen_quantiles",
+    # round-5 session-16: BFS crawl depth — host-level join + min-agg per
+    # round, the third iterative graph signal beside pagerank/opic
+    "hop_distance",
 ]
 
 N_HOSTS = 997  # prime, plus host 0 = mega-forge

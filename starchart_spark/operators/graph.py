@@ -618,3 +618,93 @@ def opic_sql(edges_cte: str, iters: int = 4, scale: int = OPIC_SCALE) -> str:
         f"WITH {body}\nSELECT host, cash_u, hist_u,"
         f" cash_u + hist_u AS score_u FROM {final}"
     )
+
+
+# --------------------------------------------------------------------------
+# BFS hop distance from the seed set — the crawl-depth priority signal
+
+
+def hop_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(host, hops): exact BFS distance from the nearest seed, for every
+    host reachable within ``max_hops`` link hops.
+
+    Crawl depth is the oldest frontier-priority signal there is — a
+    breadth-first crawl order (seeds first, their links next, ...) is what
+    the reference's fixed seed-list loop degenerates to on a one-level
+    graph (src/spider.rs:36-223), and depth caps are how real crawlers
+    bound trap descent (:mod:`traps` flags per-URL path depth; THIS is the
+    graph-global analogue). The output joins :mod:`pqueue` as a priority
+    column (lower hops = crawl sooner) exactly like ``pagerank``/``opic``.
+
+    Semantics: after k rounds every host whose true seed distance is ≤ k
+    carries that exact distance, and no other host appears — a host only
+    enters via a path of length ≤ k, and any such path bounds its true
+    distance. So a fixed ``max_hops`` unroll is EXACT on the ≤ max_hops
+    ball and silent beyond it (absence = "further than max_hops or
+    unreachable"), deterministic on any partitioning: the per-round
+    combine is an integer MIN, and seeds not present in the edge set are
+    legitimately reported at hops 0.
+
+    Scale shape: per round ONE join of the current distance table (host-
+    level, ≪ edges) against edges on src plus ONE min-aggregate keyed on
+    dst — both map-side combinable; ``localCheckpoint`` truncates lineage
+    per round (the :mod:`cluster` lesson). The frontier table never holds
+    more than one row per host.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).alias("host"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_hops):
+        step = dist.join(e, dist["host"] == e["src"]).select(
+            F.col("dst").alias("host"), (F.col("hops") + F.lit(1)).alias("hops")
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("host")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def hop_distance_cte(
+    edges_cte: str, seeds_cte: str, max_hops: int = 6
+) -> tuple[str, str]:
+    """(with_body, final_relation) for the unrolled BFS oracle —
+    composable like :func:`pagerank_cte` so schedulers splicing hops as a
+    priority reuse the identical recurrence."""
+    parts = [
+        f"edges AS ({edges_cte})",
+        f"seeds AS ({seeds_cte})",
+        "d0 AS (SELECT DISTINCT host, CAST(0 AS BIGINT) AS hops FROM seeds)",
+    ]
+    for i in range(max_hops):
+        prev, cur = f"d{i}", f"d{i + 1}"
+        parts.append(
+            f"""{cur} AS (
+  SELECT host, CAST(MIN(hops) AS BIGINT) AS hops FROM (
+    SELECT host, hops FROM {prev}
+    UNION ALL
+    SELECT e.dst AS host, d.hops + 1 AS hops
+    FROM {prev} d JOIN edges e ON d.host = e.src
+  ) GROUP BY host
+)"""
+        )
+    return ",\n".join(parts), f"d{max_hops}"
+
+
+def hop_distance_sql(edges_cte: str, seeds_cte: str, max_hops: int = 6) -> str:
+    """DuckDB oracle for :func:`hop_distance`, rounds unrolled — the
+    recurrence lives in ONE generator for both engines."""
+    body, final = hop_distance_cte(edges_cte, seeds_cte, max_hops)
+    return f"WITH {body}\nSELECT host, hops FROM {final}"

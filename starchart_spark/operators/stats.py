@@ -1,0 +1,186 @@
+"""Exact distributed order statistics — corpus quantiles without approx.
+
+Spark ships ``percentile_approx`` (GK sketch) and the reference ships no
+quantiles at all; but a training-data pipeline makes CONTRACT decisions on
+distribution cut points — "drop docs below the 1st length percentile",
+"cap at p99 token count", curriculum length buckets — and an approximate
+cut point moves between runs and between cluster sizes, which silently
+changes the corpus. This module computes EXACT order statistics at 100 TB
+scale by reusing the repo's skew-proof two-pass rankers:
+
+- global quantiles ride :func:`skew.ordered_prefix` (range-partition by
+  value, per-partition offsets, local rank — the full sort is the range
+  partitioner's, parallel and balanced; no single task ever sorts the
+  corpus the way ``row_number() over (order by v)`` would);
+- per-group quantiles ride :func:`skew.ranked_by_host` (a mega-group —
+  think lang='en' at 90% corpus share — spans many range partitions
+  instead of serializing one task).
+
+Quantile definition (deterministic, integer-only): for q expressed in
+MILLI units (0..1000) over n rows, the selected value is the one at
+1-based rank
+
+    qrank(q) = 1 + (q · (n − 1)) div 1000
+
+i.e. the "lower" order statistic on the milli-grid — q=0 → min,
+q=1000 → max, q=500 → lower median. No interpolation: interpolated
+quantiles average two values in floats (engine-dependent last digit) and
+land on values that don't exist in the data; rank selection returns a
+value the corpus actually contains and is bit-identical on any
+partitioning or engine. ``div`` truncates in Spark and ``//`` floors in
+DuckDB — equal because every operand here is non-negative (the
+:mod:`kmeans` offset lesson).
+
+Ties need no tie-break: rank assignment AMONG equal values is
+partition-order-dependent, but the VALUE at any global rank is invariant
+under permutations of equal values — which is the only thing returned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from starchart_spark.operators.skew import ordered_prefix, ranked_by_host
+
+
+def _check_q(q_millis: Sequence[int]) -> list[int]:
+    qs = [int(q) for q in q_millis]
+    if not qs:
+        raise ValueError("q_millis must be non-empty")
+    for q in qs:
+        if not 0 <= q <= 1000:
+            raise ValueError(f"q_milli out of [0, 1000]: {q}")
+    if len(set(qs)) != len(qs):
+        raise ValueError("q_millis must be distinct")
+    return qs
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    q_millis: Sequence[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(q_milli, qrank, value): exact global order statistics of
+    ``value_col`` (BIGINT-cast) at each requested milli-quantile.
+
+    One ranking pass (two-pass range-partitioned — see module doc), one
+    1-row aggregate for n, and a broadcast join of the ≤len(q_millis)-row
+    target dim back onto the ranked frame. The ranked frame is persisted
+    by ``ordered_prefix`` so n and the selection read one materialization.
+    """
+    qs = _check_q(q_millis)
+    vals = df.select(F.col(value_col).cast("long").alias("value")).withColumn(
+        "__one", F.lit(1).cast("long")
+    )
+    ranked = ordered_prefix(
+        vals,
+        "value",
+        "__one",
+        rank_col="__rn",
+        prefix_col="__pfx",
+        num_partitions=num_partitions,
+    ).drop("__pfx", "__one")
+    n_df = ranked.agg(F.max("__rn").alias("__n"))
+    arr = ", ".join(f"{q}L" for q in qs)
+    targets = n_df.select(
+        F.explode(F.expr(f"array({arr})")).alias("q_milli"), "__n"
+    ).select(
+        "q_milli",
+        (F.lit(1) + F.expr("(q_milli * (__n - 1)) div 1000")).cast("long").alias(
+            "qrank"
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(targets), ranked["__rn"] == targets["qrank"])
+        .select("q_milli", "qrank", "value")
+    )
+
+
+def exact_quantiles_sql(
+    source_sql: str, value_expr: str, q_millis: Sequence[int]
+) -> str:
+    """DuckDB oracle for :func:`exact_quantiles` — kept beside the
+    operator so the rank formula cannot drift between engines. The oracle
+    pays the single-node global sort the Spark plan avoids."""
+    qs = _check_q(q_millis)
+    arr = ", ".join(str(q) for q in qs)
+    return f"""
+WITH v AS (SELECT CAST(({value_expr}) AS BIGINT) AS value FROM ({source_sql})),
+r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+n AS (SELECT COUNT(*) AS n FROM v),
+t AS (SELECT CAST(q_milli AS BIGINT) AS q_milli,
+             1 + (q_milli * (n - 1)) // 1000 AS qrank
+      FROM n, (SELECT unnest([{arr}]) AS q_milli))
+SELECT t.q_milli, CAST(t.qrank AS BIGINT) AS qrank, r.value
+FROM t JOIN r ON r.rn = t.qrank
+"""
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    q_millis: Sequence[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(grp, q_milli, qrank, value): exact per-group order statistics.
+
+    Per-group ranks come from the skew-proof per-host ranker (a dominant
+    group spans many range partitions); per-group counts are one hash
+    aggregate (map-side combined — 2 counters per group however mega the
+    group); the (group, q, rank) target dim joins back on the equi-key
+    (grp, rank) — #groups·#qs rows, broadcast by AQE when small.
+    """
+    qs = _check_q(q_millis)
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("value")
+    )
+    ranked = ranked_by_host(
+        vals, "grp", "value", out_col="__rn", num_partitions=num_partitions
+    )
+    counts = vals.groupBy("grp").agg(F.count(F.lit(1)).alias("__n"))
+    arr = ", ".join(f"{q}L" for q in qs)
+    targets = counts.select(
+        "grp",
+        F.explode(F.expr(f"array({arr})")).alias("q_milli"),
+        "__n",
+    ).select(
+        "grp",
+        "q_milli",
+        (F.lit(1) + F.expr("(q_milli * (__n - 1)) div 1000")).cast("long").alias(
+            "qrank"
+        ),
+    )
+    return (
+        ranked.join(
+            targets,
+            (ranked["grp"] == targets["grp"]) & (ranked["__rn"] == targets["qrank"]),
+        )
+        .select(ranked["grp"], "q_milli", "qrank", "value")
+    )
+
+
+def group_quantiles_sql(
+    source_sql: str, group_expr: str, value_expr: str, q_millis: Sequence[int]
+) -> str:
+    """DuckDB oracle for :func:`group_quantiles`."""
+    qs = _check_q(q_millis)
+    arr = ", ".join(str(q) for q in qs)
+    return f"""
+WITH v AS (SELECT ({group_expr}) AS grp,
+                  CAST(({value_expr}) AS BIGINT) AS value
+           FROM ({source_sql})),
+r AS (SELECT grp, value,
+             row_number() OVER (PARTITION BY grp ORDER BY value) AS rn
+      FROM v),
+n AS (SELECT grp, COUNT(*) AS n FROM v GROUP BY grp),
+t AS (SELECT grp, CAST(q_milli AS BIGINT) AS q_milli,
+             1 + (q_milli * (n - 1)) // 1000 AS qrank
+      FROM n, (SELECT unnest([{arr}]) AS q_milli))
+SELECT t.grp, t.q_milli, CAST(t.qrank AS BIGINT) AS qrank, r.value
+FROM t JOIN r ON r.grp = t.grp AND r.rn = t.qrank
+"""

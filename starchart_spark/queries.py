@@ -4777,6 +4777,100 @@ def _sql_kmeans_farthest() -> str:
 SQL_KMEANS_FARTHEST = _sql_kmeans_farthest()
 
 
+_QUANT_QS = [0, 100, 250, 500, 750, 900, 990, 1000]
+
+
+def q_doclen_quantiles(spark, sf_dir):
+    """Exact global order statistics of document length (operators/
+    stats.py): the corpus cut points a curation contract pins ("drop below
+    p10", "cap at p99") computed EXACTLY via the skew-proof two-pass
+    ordered_prefix ranker — no single task ever sorts the corpus, unlike
+    row_number() over (order by v). Rank selection (no interpolation)
+    keeps every returned value one the corpus contains, bit-identical on
+    any partitioning; percentile_approx would move between runs."""
+    from starchart_spark.operators import stats
+
+    return stats.exact_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", _QUANT_QS
+    )
+
+
+def _sql_doclen_quantiles() -> str:
+    from starchart_spark.operators import stats
+
+    return stats.exact_quantiles_sql(
+        "SELECT n_chars FROM documents", "n_chars", _QUANT_QS
+    )
+
+
+SQL_DOCLEN_QUANTILES = _sql_doclen_quantiles()
+
+
+def q_lang_quantiles(spark, sf_dir):
+    """Per-language exact length quantiles (stats.group_quantiles): the
+    stratified form a per-language curation policy consumes. Per-group
+    ranks ride the skew-proof per-host ranker, so a dominant language
+    (lang='en' at 90% share) spans many range partitions instead of
+    serializing one task; counts are one map-side-combined aggregate."""
+    from starchart_spark.operators import stats
+
+    return stats.group_quantiles(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", [250, 500, 750]
+    )
+
+
+def _sql_lang_quantiles() -> str:
+    from starchart_spark.operators import stats
+
+    return stats.group_quantiles_sql(
+        "SELECT lang, n_chars FROM documents", "lang", "n_chars", [250, 500, 750]
+    )
+
+
+SQL_LANG_QUANTILES = _sql_lang_quantiles()
+
+
+def q_hop_distance(spark, sf_dir):
+    """BFS crawl depth from the seed set (graph.hop_distance): exact hop
+    counts on the ≤4-hop ball of a sparse orders-derived host graph
+    (src = orderkey mod 251, dst = orderkey div 7 mod 251 — avg degree is
+    low enough that 4 rounds leave part of the graph honestly absent,
+    exercising the silent-beyond-the-ball contract). Two seeds so the
+    min-over-seeds combine is live. Joins pqueue as a priority column
+    exactly like pagerank/opic."""
+    from starchart_spark.operators import graph
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("o_orderkey") % 251).cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("h"),
+                (F.expr("o_orderkey div 7") % 251).cast("string"),
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([("h0",), ("h17",)], "host string")
+    return graph.hop_distance(edges, seeds, max_hops=4)
+
+
+def _sql_hop_distance() -> str:
+    from starchart_spark.operators import graph
+
+    return graph.hop_distance_sql(
+        "SELECT DISTINCT 'h' || (o_orderkey % 251) AS src,"
+        " 'h' || ((o_orderkey // 7) % 251) AS dst FROM orders",
+        "SELECT 'h0' AS host UNION ALL SELECT 'h17' AS host",
+        max_hops=4,
+    )
+
+
+SQL_HOP_DISTANCE = _sql_hop_distance()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4872,6 +4966,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmeans_centroids": (q_kmeans_centroids, SQL_KMEANS_CENTROIDS),
     "kmeans_sizes": (q_kmeans_sizes, SQL_KMEANS_SIZES),
     "kmeans_farthest": (q_kmeans_farthest, SQL_KMEANS_FARTHEST),
+    "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
+    "lang_quantiles": (q_lang_quantiles, SQL_LANG_QUANTILES),
+    "hop_distance": (q_hop_distance, SQL_HOP_DISTANCE),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "host_hits": (q_host_hits, SQL_HOST_HITS),
