@@ -678,29 +678,33 @@ def hop_distance(
 
 
 def hop_distance_cte(
-    edges_cte: str, seeds_cte: str, max_hops: int = 6
+    edges_cte: str, seeds_cte: str, max_hops: int = 6, prefix: str = ""
 ) -> tuple[str, str]:
     """(with_body, final_relation) for the unrolled BFS oracle —
     composable like :func:`pagerank_cte` so schedulers splicing hops as a
-    priority reuse the identical recurrence."""
+    priority reuse the identical recurrence. ``prefix`` namespaces the
+    internal CTEs so the body can sit in one WITH beside another
+    generator's (both generators name an ``edges`` CTE otherwise)."""
+    p = prefix
     parts = [
-        f"edges AS ({edges_cte})",
-        f"seeds AS ({seeds_cte})",
-        "d0 AS (SELECT DISTINCT host, CAST(0 AS BIGINT) AS hops FROM seeds)",
+        f"{p}edges AS ({edges_cte})",
+        f"{p}seeds AS ({seeds_cte})",
+        f"{p}d0 AS (SELECT DISTINCT host, CAST(0 AS BIGINT) AS hops"
+        f" FROM {p}seeds)",
     ]
     for i in range(max_hops):
-        prev, cur = f"d{i}", f"d{i + 1}"
+        prev, cur = f"{p}d{i}", f"{p}d{i + 1}"
         parts.append(
             f"""{cur} AS (
   SELECT host, CAST(MIN(hops) AS BIGINT) AS hops FROM (
     SELECT host, hops FROM {prev}
     UNION ALL
     SELECT e.dst AS host, d.hops + 1 AS hops
-    FROM {prev} d JOIN edges e ON d.host = e.src
+    FROM {prev} d JOIN {p}edges e ON d.host = e.src
   ) GROUP BY host
 )"""
         )
-    return ",\n".join(parts), f"d{max_hops}"
+    return ",\n".join(parts), f"{p}d{max_hops}"
 
 
 def hop_distance_sql(edges_cte: str, seeds_cte: str, max_hops: int = 6) -> str:
@@ -708,3 +712,64 @@ def hop_distance_sql(edges_cte: str, seeds_cte: str, max_hops: int = 6) -> str:
     recurrence lives in ONE generator for both engines."""
     body, final = hop_distance_cte(edges_cte, seeds_cte, max_hops)
     return f"WITH {body}\nSELECT host, hops FROM {final}"
+
+
+def crawl_priority(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    pr_iters: int = 5,
+    max_hops: int = 4,
+    scale: int = SCALE,
+) -> DataFrame:
+    """(host, rank_u, hops, priority_u): the composed scheduler signal —
+    authority discounted by seed distance, ``priority_u = rank_u div
+    (1 + hops)``, with beyond-the-ball hosts (hops NULL) discounted at
+    ``max_hops + 1``. This is the composition a frontier actually ranks
+    on (a high-authority host 6 hops out should not outrank a decent host
+    adjacent to a seed — BFS locality is the crawl-order prior, authority
+    the tiebreaker), and it gates that :func:`pagerank_cte` and
+    :func:`hop_distance_cte` COMPOSE in one plan/oracle the way
+    ``revisit_plan`` gates the recrawl composition.
+
+    Domain = the link graph's host set (PageRank's node set); seeds with
+    no edges are not crawl targets and don't appear. All-integer
+    discount, so the composed priority inherits both inputs' bit-exact
+    partitioning independence. Plan: the two iterative results join once
+    on host — host-level tables, broadcast-friendly at any corpus size.
+    """
+    pr = pagerank(edges, src=src, dst=dst, iters=pr_iters, scale=scale)
+    hd = hop_distance(edges, seeds, src=src, dst=dst, max_hops=max_hops)
+    return (
+        pr.join(hd, "host", "left")
+        .select(
+            "host",
+            "rank_u",
+            "hops",
+            F.expr(f"rank_u div (1 + coalesce(hops, {max_hops + 1}))")
+            .cast("long")
+            .alias("priority_u"),
+        )
+    )
+
+
+def crawl_priority_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    pr_iters: int = 5,
+    max_hops: int = 4,
+    scale: int = SCALE,
+) -> str:
+    """DuckDB oracle for :func:`crawl_priority` — splices BOTH unrolled
+    generators into one WITH (the BFS CTEs namespaced ``b_``), so the
+    composition is gated end-to-end, not just the parts."""
+    pr_body, pr_final = pagerank_cte(edges_cte, iters=pr_iters, scale=scale)
+    hd_body, hd_final = hop_distance_cte(
+        edges_cte, seeds_cte, max_hops=max_hops, prefix="b_"
+    )
+    return f"""WITH {pr_body},
+{hd_body}
+SELECT p.host, p.rank_u, h.hops,
+       p.rank_u // (1 + COALESCE(h.hops, {max_hops + 1})) AS priority_u
+FROM {pr_final} p LEFT JOIN {hd_final} h USING (host)"""

@@ -120,6 +120,92 @@ FROM t JOIN r ON r.rn = t.qrank
 """
 
 
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    q_millis: Sequence[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(q_milli, target_mass, value): exact MASS quantiles — the smallest
+    value v such that rows with value ≤ v carry cumulative weight ≥
+    ``1 + (q · (W − 1)) div 1000`` (W = total weight, same milli-grid and
+    lower-selection rule as :func:`exact_quantiles`, in weight units).
+
+    This is the cut point a token-budget policy actually needs: "half the
+    corpus TOKENS live in docs shorter than X" is a weighted p50, not a
+    row p50 — long docs carry more mass. Weights must be non-negative
+    BIGINTs (token counts, byte sizes); zero-weight rows are transparent
+    (they can never straddle a target: their exclusive and inclusive
+    prefixes are equal).
+
+    Shape: ONE :func:`skew.ordered_prefix` pass (rank + EXCLUSIVE running
+    weight — this is the primitive's prefix half doing the work), a 1-row
+    total aggregate, and a broadcast of the ≤len(q_millis)-row target dim
+    joined on the straddle predicate ``exclusive < T ≤ exclusive+w`` —
+    exactly one row matches per target, so the broadcast-nested-loop scan
+    emits len(q_millis) rows total.
+    """
+    qs = _check_q(q_millis)
+    vals = df.select(
+        F.col(value_col).cast("long").alias("value"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    ranked = ordered_prefix(
+        vals,
+        "value",
+        "__w",
+        rank_col="__rn",
+        prefix_col="__excl",
+        num_partitions=num_partitions,
+    )
+    w_df = ranked.agg(F.sum("__w").alias("__wtot"))
+    arr = ", ".join(f"{q}L" for q in qs)
+    targets = w_df.select(
+        F.explode(F.expr(f"array({arr})")).alias("q_milli"), "__wtot"
+    ).select(
+        "q_milli",
+        (F.lit(1) + F.expr("(q_milli * (__wtot - 1)) div 1000"))
+        .cast("long")
+        .alias("target_mass"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            (targets["target_mass"] > ranked["__excl"])
+            & (targets["target_mass"] <= ranked["__excl"] + ranked["__w"]),
+        )
+        .select("q_milli", "target_mass", "value")
+    )
+
+
+def weighted_quantiles_sql(
+    source_sql: str, value_expr: str, weight_expr: str, q_millis: Sequence[int]
+) -> str:
+    """DuckDB oracle for :func:`weighted_quantiles`. The running sum must
+    break ties over ALL rows deterministically? No — it need not: equal
+    values may permute, but the straddle row's VALUE is invariant because
+    permuting equal-valued rows permutes only prefixes within a run of
+    one value."""
+    qs = _check_q(q_millis)
+    arr = ", ".join(str(q) for q in qs)
+    return f"""
+WITH v AS (SELECT CAST(({value_expr}) AS BIGINT) AS value,
+                  CAST(({weight_expr}) AS BIGINT) AS w
+           FROM ({source_sql})),
+r AS (SELECT value, w,
+             COALESCE(SUM(w) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM v),
+wt AS (SELECT COALESCE(SUM(w), 0) AS wtot FROM v),
+t AS (SELECT CAST(q_milli AS BIGINT) AS q_milli,
+             1 + (q_milli * (wtot - 1)) // 1000 AS target_mass
+      FROM wt, (SELECT unnest([{arr}]) AS q_milli))
+SELECT t.q_milli, CAST(t.target_mass AS BIGINT) AS target_mass, r.value
+FROM t JOIN r ON t.target_mass > r.excl AND t.target_mass <= r.excl + r.w
+"""
+
+
 def group_quantiles(
     df: DataFrame,
     group_col: str,

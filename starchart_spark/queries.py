@@ -4806,6 +4806,31 @@ def _sql_doclen_quantiles() -> str:
 SQL_DOCLEN_QUANTILES = _sql_doclen_quantiles()
 
 
+def q_charmass_quantiles(spark, sf_dir):
+    """Exact MASS quantiles (stats.weighted_quantiles): the cut point a
+    token-budget policy needs — "half the corpus CHARACTERS live in docs
+    shorter than X" weights each doc by its length, not by 1 (long docs
+    carry more mass, so the weighted p500 sits above the row p500). One
+    ordered_prefix pass — its exclusive-prefix half does the work — plus
+    a broadcast straddle join (exactly one row per target)."""
+    from starchart_spark.operators import stats
+
+    return stats.weighted_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", "n_chars", _QUANT_QS
+    )
+
+
+def _sql_charmass_quantiles() -> str:
+    from starchart_spark.operators import stats
+
+    return stats.weighted_quantiles_sql(
+        "SELECT n_chars FROM documents", "n_chars", "n_chars", _QUANT_QS
+    )
+
+
+SQL_CHARMASS_QUANTILES = _sql_charmass_quantiles()
+
+
 def q_lang_quantiles(spark, sf_dir):
     """Per-language exact length quantiles (stats.group_quantiles): the
     stratified form a per-language curation policy consumes. Per-group
@@ -4869,6 +4894,47 @@ def _sql_hop_distance() -> str:
 
 
 SQL_HOP_DISTANCE = _sql_hop_distance()
+
+
+def q_crawl_priority(spark, sf_dir):
+    """Composed scheduler priority (graph.crawl_priority): PageRank
+    authority discounted by BFS seed distance — rank_u div (1 + hops),
+    beyond-the-4-hop-ball hosts discounted at max_hops+1. Gates that
+    pagerank_cte and hop_distance_cte COMPOSE in one plan/oracle (the
+    revisit_plan discipline applied to the frontier's priority column),
+    over the same sparse orders graph + seeds as hop_distance."""
+    from starchart_spark.operators import graph
+
+    edges = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("o_orderkey") % 251).cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("h"),
+                (F.expr("o_orderkey div 7") % 251).cast("string"),
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = spark.createDataFrame([("h0",), ("h17",)], "host string")
+    return graph.crawl_priority(edges, seeds, pr_iters=3, max_hops=4)
+
+
+def _sql_crawl_priority() -> str:
+    from starchart_spark.operators import graph
+
+    return graph.crawl_priority_sql(
+        "SELECT DISTINCT 'h' || (o_orderkey % 251) AS src,"
+        " 'h' || ((o_orderkey // 7) % 251) AS dst FROM orders",
+        "SELECT 'h0' AS host UNION ALL SELECT 'h17' AS host",
+        pr_iters=3,
+        max_hops=4,
+    )
+
+
+SQL_CRAWL_PRIORITY = _sql_crawl_priority()
 
 
 # ---------------------------------------------------------------------------
@@ -4967,8 +5033,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmeans_sizes": (q_kmeans_sizes, SQL_KMEANS_SIZES),
     "kmeans_farthest": (q_kmeans_farthest, SQL_KMEANS_FARTHEST),
     "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
+    "charmass_quantiles": (q_charmass_quantiles, SQL_CHARMASS_QUANTILES),
     "lang_quantiles": (q_lang_quantiles, SQL_LANG_QUANTILES),
     "hop_distance": (q_hop_distance, SQL_HOP_DISTANCE),
+    "crawl_priority": (q_crawl_priority, SQL_CRAWL_PRIORITY),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
     "opic_scores": (q_opic_scores, SQL_OPIC_SCORES),
     "host_hits": (q_host_hits, SQL_HOST_HITS),

@@ -147,3 +147,96 @@ def test_hop_distance_isolated_seed_and_invariance(spark):
     assert a["offgraph"] == 0
     b = _hops(graph.hop_distance(edges.repartition(13), seeds, max_hops=4))
     assert a == b
+
+
+# --------------------------------------------------------- weighted mass
+
+
+def _brute_weighted(pairs, qs):
+    s = sorted(pairs)
+    W = sum(w for _, w in s)
+    out = {}
+    for q in qs:
+        t = 1 + (q * (W - 1)) // 1000
+        acc = 0
+        for v, w in s:
+            if acc < t <= acc + w:
+                out[q] = (t, v)
+                break
+            acc += w
+    return out
+
+
+def test_weighted_quantiles_brute_parity(spark):
+    # ties in value, varying weights, and zero-weight rows (transparent)
+    pairs = [((i * 13) % 17, (i * 7) % 5) for i in range(120)]
+    df = spark.createDataFrame(pairs, ["v", "w"])
+    got = {
+        r["q_milli"]: (r["target_mass"], r["value"])
+        for r in stats.weighted_quantiles(df, "v", "w", QS).collect()
+    }
+    assert got == _brute_weighted(pairs, QS)
+
+
+def test_weighted_quantiles_mass_vs_row(spark):
+    # one heavy row dominates the mass: weighted p500 must land on it
+    # while the row p500 does not
+    pairs = [(i, 1) for i in range(1, 100)] + [(1000, 1000)]
+    df = spark.createDataFrame(pairs, ["v", "w"])
+    wq = {
+        r["q_milli"]: r["value"]
+        for r in stats.weighted_quantiles(df, "v", "w", [500]).collect()
+    }
+    rq = {
+        r["q_milli"]: r["value"]
+        for r in stats.exact_quantiles(df, "v", [500]).collect()
+    }
+    assert wq[500] == 1000 and rq[500] < 100
+
+
+def test_weighted_quantiles_partition_invariance(spark):
+    pairs = [((i * 31) % 23, 1 + (i % 4)) for i in range(150)]
+    df = spark.createDataFrame(pairs, ["v", "w"])
+    a = sorted(stats.weighted_quantiles(df, "v", "w", QS).collect())
+    b = sorted(stats.weighted_quantiles(df.repartition(9), "v", "w", QS).collect())
+    assert a == b
+
+
+# ----------------------------------------------------- composed priority
+
+
+def test_crawl_priority_composition(spark):
+    # star authority 3 hops out vs modest host adjacent to the seed:
+    # locality must win; beyond-ball hosts get the max_hops+1 discount
+    edges = spark.createDataFrame(
+        [
+            ("seed", "near"),
+            ("near", "mid"),
+            ("mid", "far"),
+            ("a", "hub"), ("b", "hub"), ("c", "hub"), ("d", "hub"),
+            ("far", "hub"),
+        ],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("seed",), ("offgraph",)], ["host"])
+    out = {
+        r["host"]: r
+        for r in graph.crawl_priority(edges, seeds, pr_iters=8, max_hops=2).collect()
+    }
+    # domain is the graph's host set: the edge-less seed is absent
+    assert "offgraph" not in out
+    pr = {r["host"]: r["rank_u"] for r in graph.pagerank(edges, iters=8).collect()}
+    # locality reorders comparable-authority hosts: far has MORE pagerank
+    # than near (chain mass accumulates) but sits beyond the 2-hop ball,
+    # so its 1+3 discount loses to near's 1+1
+    assert pr["far"] >= pr["near"]
+    assert out["near"]["priority_u"] > out["far"]["priority_u"]
+    # a 4-in-edge authority is discounted but not erased: the discount is
+    # a divisor, so hub's 4x-rank edge over near survives a 2x divisor gap
+    assert out["hub"]["priority_u"] < pr["hub"]
+    # beyond-ball (hops NULL) uses the max_hops+1 discount, exactly
+    assert out["far"]["hops"] is None
+    assert out["far"]["priority_u"] == pr["far"] // (1 + 3)
+    # in-ball discount exact
+    assert out["near"]["priority_u"] == pr["near"] // (1 + 1)
+    assert out["seed"]["priority_u"] == pr["seed"] // 1
