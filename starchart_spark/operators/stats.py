@@ -34,6 +34,11 @@ DuckDB — equal because every operand here is non-negative (the
 Ties need no tie-break: rank assignment AMONG equal values is
 partition-order-dependent, but the VALUE at any global rank is invariant
 under permutations of equal values — which is the only thing returned.
+
+NULL values (and NULL weights) are EXCLUDED before ranking, on both
+engines: Spark's ascending sort puts NULLS FIRST while DuckDB's puts
+NULLS LAST, so leaving them in would silently shift every rank between
+the engines — the n that parameterizes qrank counts non-NULL rows only.
 """
 
 from __future__ import annotations
@@ -73,8 +78,10 @@ def exact_quantiles(
     by ``ordered_prefix`` so n and the selection read one materialization.
     """
     qs = _check_q(q_millis)
-    vals = df.select(F.col(value_col).cast("long").alias("value")).withColumn(
-        "__one", F.lit(1).cast("long")
+    vals = (
+        df.select(F.col(value_col).cast("long").alias("value"))
+        .filter(F.col("value").isNotNull())
+        .withColumn("__one", F.lit(1).cast("long"))
     )
     ranked = ordered_prefix(
         vals,
@@ -109,7 +116,8 @@ def exact_quantiles_sql(
     qs = _check_q(q_millis)
     arr = ", ".join(str(q) for q in qs)
     return f"""
-WITH v AS (SELECT CAST(({value_expr}) AS BIGINT) AS value FROM ({source_sql})),
+WITH v AS (SELECT CAST(({value_expr}) AS BIGINT) AS value FROM ({source_sql})
+           WHERE ({value_expr}) IS NOT NULL),
 r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
 n AS (SELECT COUNT(*) AS n FROM v),
 t AS (SELECT CAST(q_milli AS BIGINT) AS q_milli,
@@ -150,7 +158,7 @@ def weighted_quantiles(
     vals = df.select(
         F.col(value_col).cast("long").alias("value"),
         F.col(weight_col).cast("long").alias("__w"),
-    )
+    ).filter(F.col("value").isNotNull() & F.col("__w").isNotNull())
     ranked = ordered_prefix(
         vals,
         "value",
@@ -192,7 +200,8 @@ def weighted_quantiles_sql(
     return f"""
 WITH v AS (SELECT CAST(({value_expr}) AS BIGINT) AS value,
                   CAST(({weight_expr}) AS BIGINT) AS w
-           FROM ({source_sql})),
+           FROM ({source_sql})
+           WHERE ({value_expr}) IS NOT NULL AND ({weight_expr}) IS NOT NULL),
 r AS (SELECT value, w,
              COALESCE(SUM(w) OVER (ORDER BY value
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
@@ -224,7 +233,7 @@ def group_quantiles(
     qs = _check_q(q_millis)
     vals = df.select(
         F.col(group_col).alias("grp"), F.col(value_col).cast("long").alias("value")
-    )
+    ).filter(F.col("value").isNotNull())
     ranked = ranked_by_host(
         vals, "grp", "value", out_col="__rn", num_partitions=num_partitions
     )
@@ -259,7 +268,8 @@ def group_quantiles_sql(
     return f"""
 WITH v AS (SELECT ({group_expr}) AS grp,
                   CAST(({value_expr}) AS BIGINT) AS value
-           FROM ({source_sql})),
+           FROM ({source_sql})
+           WHERE ({value_expr}) IS NOT NULL),
 r AS (SELECT grp, value,
              row_number() OVER (PARTITION BY grp ORDER BY value) AS rn
       FROM v),
@@ -269,4 +279,62 @@ t AS (SELECT grp, CAST(q_milli AS BIGINT) AS q_milli,
       FROM n, (SELECT unnest([{arr}]) AS q_milli))
 SELECT t.grp, t.q_milli, CAST(t.qrank AS BIGINT) AS qrank, r.value
 FROM t JOIN r ON r.grp = t.grp AND r.rn = t.qrank
+"""
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    q_millis: Sequence[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All of ``df``'s (non-NULL-valued) rows plus a ``bucket`` column:
+    the number of exact quantile cut points strictly below the row's
+    value — curriculum length buckets, winsorization bands, shard maps.
+
+    ``bucket = |{j : value > t_j}|`` over the cut values t_j selected by
+    :func:`exact_quantiles` at ``q_millis``; k cuts give buckets 0..k.
+    A row EQUAL to a cut stays in the lower bucket (strict >), and two
+    quantiles selecting the same value collapse their band to empty —
+    both consequences of comparing against VALUES, which is what makes
+    the assignment a pure function of the data (the bucketing is the
+    CONTRACT; an approximate cut would move rows between buckets across
+    runs and cluster sizes).
+
+    Plan: the ranking pass computes the cuts, which fold to a ONE-ROW
+    sorted array broadcast onto a second corpus scan; the bucket count is
+    a codegen'd array filter — zero additional shuffles.
+    """
+    cuts = (
+        exact_quantiles(df, value_col, q_millis, num_partitions=num_partitions)
+        .agg(F.sort_array(F.collect_list("value")).alias("__cuts"))
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"size(filter(__cuts, t -> CAST({value_col} AS BIGINT) > t))"
+            ).cast("long"),
+        )
+        .drop("__cuts")
+    )
+
+
+def quantile_buckets_sql(
+    source_sql: str, value_expr: str, q_millis: Sequence[int]
+) -> str:
+    """DuckDB oracle for :func:`quantile_buckets` — splices the
+    :func:`exact_quantiles_sql` result as the cut CTE so the composition
+    (cut selection AND bucket assignment) is gated end-to-end. Emits all
+    source columns plus ``bucket``."""
+    inner = exact_quantiles_sql(source_sql, value_expr, q_millis)
+    return f"""
+WITH __cuts AS ({inner})
+SELECT s.*,
+       (SELECT COUNT(*) FROM __cuts c
+        WHERE CAST(({value_expr}) AS BIGINT) > c.value) AS bucket
+FROM ({source_sql}) s
+WHERE ({value_expr}) IS NOT NULL
 """

@@ -4831,6 +4831,32 @@ def _sql_charmass_quantiles() -> str:
 SQL_CHARMASS_QUANTILES = _sql_charmass_quantiles()
 
 
+def q_length_buckets(spark, sf_dir):
+    """Curriculum length buckets (stats.quantile_buckets): every document
+    assigned the band between exact tercile cut points — the quantile
+    CONSUMER composition (cut selection + bucket assignment gated
+    together). Cuts fold to a one-row broadcast array; the bucket count
+    is a codegen'd array filter on a second scan — zero extra shuffles."""
+    from starchart_spark.operators import stats
+
+    return stats.quantile_buckets(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "n_chars",
+        [250, 500, 750],
+    )
+
+
+def _sql_length_buckets() -> str:
+    from starchart_spark.operators import stats
+
+    return stats.quantile_buckets_sql(
+        "SELECT doc_id, n_chars FROM documents", "n_chars", [250, 500, 750]
+    )
+
+
+SQL_LENGTH_BUCKETS = _sql_length_buckets()
+
+
 def q_lang_quantiles(spark, sf_dir):
     """Per-language exact length quantiles (stats.group_quantiles): the
     stratified form a per-language curation policy consumes. Per-group
@@ -5034,6 +5060,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "kmeans_farthest": (q_kmeans_farthest, SQL_KMEANS_FARTHEST),
     "doclen_quantiles": (q_doclen_quantiles, SQL_DOCLEN_QUANTILES),
     "charmass_quantiles": (q_charmass_quantiles, SQL_CHARMASS_QUANTILES),
+    "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
     "lang_quantiles": (q_lang_quantiles, SQL_LANG_QUANTILES),
     "hop_distance": (q_hop_distance, SQL_HOP_DISTANCE),
     "crawl_priority": (q_crawl_priority, SQL_CRAWL_PRIORITY),

@@ -240,3 +240,31 @@ def test_crawl_priority_composition(spark):
     # in-ball discount exact
     assert out["near"]["priority_u"] == pr["near"] // (1 + 1)
     assert out["seed"]["priority_u"] == pr["seed"] // 1
+
+
+def test_quantile_buckets_brute_parity(spark):
+    vals = [(i, (i * 37) % 61) for i in range(300)]
+    df = spark.createDataFrame(vals, ["id", "x"])
+    cuts = sorted(
+        r["value"] for r in stats.exact_quantiles(df, "x", [250, 500, 750]).collect()
+    )
+    got = {
+        r["id"]: r["bucket"]
+        for r in stats.quantile_buckets(df, "x", [250, 500, 750]).collect()
+    }
+    want = {i: sum(1 for t in cuts if v > t) for i, v in vals}
+    assert got == want
+    assert set(got.values()) == {0, 1, 2, 3}
+
+
+def test_quantile_buckets_tie_on_cut(spark):
+    # a row exactly equal to a cut stays in the LOWER bucket (strict >)
+    vals = [(i, v) for i, v in enumerate([1, 1, 2, 2, 3, 3, 4, 4, 5])]
+    df = spark.createDataFrame(vals, ["id", "x"])
+    med = {
+        r["q_milli"]: r["value"]
+        for r in stats.exact_quantiles(df, "x", [500]).collect()
+    }[500]
+    got = {r["x"]: r["bucket"] for r in
+           stats.quantile_buckets(df, "x", [500]).collect()}
+    assert got[med] == 0 and all(b == 1 for v, b in got.items() if v > med)
