@@ -204,3 +204,65 @@ def ordered_prefix(
         .withColumn(prefix_col, (F.col("__lp") + F.col("__soff")).cast("long"))
         .drop("__pid", "__lr", "__lp", "__roff", "__soff")
     )
+
+
+def grouped_ordered_prefix(
+    df: DataFrame,
+    group_col: str,
+    order_col: str | Sequence[str],
+    value_col: str,
+    rank_col: str = "ord_rank",
+    prefix_col: str = "ord_prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Skew-proof PER-GROUP (1-based rank, EXCLUSIVE running sum of
+    ``value_col``) in ascending ``order_col`` order — :func:`ordered_prefix`
+    with a group key, or equivalently :func:`ranked_by_host` carrying a
+    running sum beside the rank.
+
+    Same two-pass shape: range-partition by (group, order) — a mega-group
+    spans many partitions but stays contiguous and ordered across them —
+    then per-(partition, group) (count, sum) offsets (a tiny table:
+    ≈ #groups + #partitions rows), per-group running totals over ≤
+    #partitions rows each, local rank + local exclusive sum + broadcast
+    offsets. A plain window partitioned by group would sort each group in
+    ONE task.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    order_exprs = [F.col(c).asc() for c in order_cols]
+    ranged = df.repartitionByRange(
+        num_partitions, F.col(group_col), *order_exprs
+    ).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    per = ranged.groupBy("__pid", group_col).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.coalesce(F.sum(value_col), F.lit(0)).cast("long").alias("__sum"),
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = per.select(
+        group_col,
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__roff"),
+        F.coalesce(F.sum("__sum").over(w_off), F.lit(0)).alias("__soff"),
+    )
+    w = Window.partitionBy("__pid", group_col).orderBy(*order_exprs)
+    return (
+        ranged.withColumn("__lr", F.row_number().over(w))
+        .withColumn(
+            "__lp",
+            F.coalesce(
+                F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .join(F.broadcast(off), ["__pid", group_col])
+        .withColumn(rank_col, (F.col("__lr") + F.col("__roff")).cast("long"))
+        .withColumn(prefix_col, (F.col("__lp") + F.col("__soff")).cast("long"))
+        .drop("__pid", "__lr", "__lp", "__roff", "__soff")
+    )

@@ -48,7 +48,11 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from starchart_spark.operators.skew import ordered_prefix, ranked_by_host
+from starchart_spark.operators.skew import (
+    grouped_ordered_prefix,
+    ordered_prefix,
+    ranked_by_host,
+)
 
 
 def _check_q(q_millis: Sequence[int]) -> list[int]:
@@ -337,4 +341,94 @@ SELECT s.*,
         WHERE CAST(({value_expr}) AS BIGINT) > c.value) AS bucket
 FROM ({source_sql}) s
 WHERE ({value_expr}) IS NOT NULL
+"""
+
+
+def group_weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    q_millis: Sequence[int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(grp, q_milli, target_mass, value): exact per-group MASS quantiles
+    — the last cell of the module's matrix (global/grouped × count/mass).
+    The per-LANGUAGE token-budget cut point lives here: "half of en's
+    tokens sit in docs shorter than X" is a grouped weighted p500.
+
+    Shape: one :func:`skew.grouped_ordered_prefix` pass (per-group rank +
+    exclusive running weight, mega-group safe), per-group totals from one
+    map-side-combined aggregate, and the #groups·#qs target dim joined on
+    grp plus the straddle predicate (``excl < T ≤ excl + w`` — exactly
+    one row per (group, target); the join is hash-equi on grp with the
+    range as a residual filter). Zero-weight rows are transparent; NULL
+    values/weights excluded as in the rest of the module.
+    """
+    qs = _check_q(q_millis)
+    vals = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("value"),
+        F.col(weight_col).cast("long").alias("__w"),
+    ).filter(F.col("value").isNotNull() & F.col("__w").isNotNull())
+    ranked = grouped_ordered_prefix(
+        vals,
+        "grp",
+        "value",
+        "__w",
+        rank_col="__rn",
+        prefix_col="__excl",
+        num_partitions=num_partitions,
+    )
+    totals = vals.groupBy("grp").agg(F.sum("__w").alias("__wtot"))
+    arr = ", ".join(f"{q}L" for q in qs)
+    targets = totals.select(
+        "grp",
+        F.explode(F.expr(f"array({arr})")).alias("q_milli"),
+        "__wtot",
+    ).select(
+        "grp",
+        "q_milli",
+        (F.lit(1) + F.expr("(q_milli * (__wtot - 1)) div 1000"))
+        .cast("long")
+        .alias("target_mass"),
+    )
+    return (
+        ranked.join(
+            targets,
+            (ranked["grp"] == targets["grp"])
+            & (targets["target_mass"] > ranked["__excl"])
+            & (targets["target_mass"] <= ranked["__excl"] + ranked["__w"]),
+        )
+        .select(ranked["grp"], "q_milli", "target_mass", "value")
+    )
+
+
+def group_weighted_quantiles_sql(
+    source_sql: str,
+    group_expr: str,
+    value_expr: str,
+    weight_expr: str,
+    q_millis: Sequence[int],
+) -> str:
+    """DuckDB oracle for :func:`group_weighted_quantiles`."""
+    qs = _check_q(q_millis)
+    arr = ", ".join(str(q) for q in qs)
+    return f"""
+WITH v AS (SELECT ({group_expr}) AS grp,
+                  CAST(({value_expr}) AS BIGINT) AS value,
+                  CAST(({weight_expr}) AS BIGINT) AS w
+           FROM ({source_sql})
+           WHERE ({value_expr}) IS NOT NULL AND ({weight_expr}) IS NOT NULL),
+r AS (SELECT grp, value, w,
+             COALESCE(SUM(w) OVER (PARTITION BY grp ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+      FROM v),
+wt AS (SELECT grp, COALESCE(SUM(w), 0) AS wtot FROM v GROUP BY grp),
+t AS (SELECT grp, CAST(q_milli AS BIGINT) AS q_milli,
+             1 + (q_milli * (wtot - 1)) // 1000 AS target_mass
+      FROM wt, (SELECT unnest([{arr}]) AS q_milli))
+SELECT t.grp, t.q_milli, CAST(t.target_mass AS BIGINT) AS target_mass, r.value
+FROM t JOIN r ON t.grp = r.grp
+            AND t.target_mass > r.excl AND t.target_mass <= r.excl + r.w
 """

@@ -4881,6 +4881,33 @@ def _sql_lang_quantiles() -> str:
 SQL_LANG_QUANTILES = _sql_lang_quantiles()
 
 
+def q_lang_charmass_quantiles(spark, sf_dir):
+    """Per-language exact MASS quantiles (stats.group_weighted_quantiles)
+    — the per-language token-budget cut point ("half of en's characters
+    sit in docs shorter than X"), completing the module's matrix
+    (global/grouped × count/mass). One grouped_ordered_prefix pass
+    (mega-group safe), one per-group total aggregate, and the straddle
+    join on (grp, mass-range)."""
+    from starchart_spark.operators import stats
+
+    return stats.group_weighted_quantiles(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars", "n_chars",
+        [250, 500, 750],
+    )
+
+
+def _sql_lang_charmass_quantiles() -> str:
+    from starchart_spark.operators import stats
+
+    return stats.group_weighted_quantiles_sql(
+        "SELECT lang, n_chars FROM documents", "lang", "n_chars", "n_chars",
+        [250, 500, 750],
+    )
+
+
+SQL_LANG_CHARMASS_QUANTILES = _sql_lang_charmass_quantiles()
+
+
 def q_hop_distance(spark, sf_dir):
     """BFS crawl depth from the seed set (graph.hop_distance): exact hop
     counts on the ≤4-hop ball of a sparse orders-derived host graph
@@ -5062,6 +5089,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "charmass_quantiles": (q_charmass_quantiles, SQL_CHARMASS_QUANTILES),
     "length_buckets": (q_length_buckets, SQL_LENGTH_BUCKETS),
     "lang_quantiles": (q_lang_quantiles, SQL_LANG_QUANTILES),
+    "lang_charmass_quantiles": (
+        q_lang_charmass_quantiles,
+        SQL_LANG_CHARMASS_QUANTILES,
+    ),
     "hop_distance": (q_hop_distance, SQL_HOP_DISTANCE),
     "crawl_priority": (q_crawl_priority, SQL_CRAWL_PRIORITY),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),

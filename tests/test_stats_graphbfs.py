@@ -268,3 +268,40 @@ def test_quantile_buckets_tie_on_cut(spark):
     got = {r["x"]: r["bucket"] for r in
            stats.quantile_buckets(df, "x", [500]).collect()}
     assert got[med] == 0 and all(b == 1 for v, b in got.items() if v > med)
+
+
+def test_group_weighted_quantiles_brute_parity(spark):
+    rows = [("g%d" % (i % 3), (i * 13) % 19, 1 + (i * 7) % 5) for i in range(240)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"])
+    got = {
+        (r["grp"], r["q_milli"]): (r["target_mass"], r["value"])
+        for r in stats.group_weighted_quantiles(
+            df, "g", "v", "w", [250, 500, 750]
+        ).collect()
+    }
+    want = {}
+    for g in ("g0", "g1", "g2"):
+        per = _brute_weighted(
+            [(v, w) for gg, v, w in rows if gg == g], [250, 500, 750]
+        )
+        for q, tv in per.items():
+            want[(g, q)] = tv
+    assert got == want
+
+
+def test_group_weighted_quantiles_skewed_group(spark):
+    # one group carries 95% of rows AND a mega-heavy row; both the
+    # two-pass grouped prefix and the straddle must stay exact
+    rows = [("big", (i * 11) % 101, 1 + (i % 7)) for i in range(950)]
+    rows += [("big", 500, 10_000)] + [("small", i, i + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, ["g", "v", "w"]).repartition(13)
+    got = {
+        (r["grp"], r["q_milli"]): (r["target_mass"], r["value"])
+        for r in stats.group_weighted_quantiles(df, "g", "v", "w", QS).collect()
+    }
+    for g in ("big", "small"):
+        per = _brute_weighted([(v, w) for gg, v, w in rows if gg == g], QS)
+        for q, tv in per.items():
+            assert got[(g, q)] == tv
+    # the heavy row dominates big's mass: p500 must land on it
+    assert got[("big", 500)][1] == 500
