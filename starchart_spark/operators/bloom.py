@@ -301,7 +301,15 @@ def probe_jvm(
     ``probe``) and the full filter set is never collected or broadcast.
 
     k varies per bucket in principle, so each unrolled mask term is guarded
-    by ``i < __k``; k_max comes from one tiny metadata-only collect.
+    by ``i < __k``. The unroll count is the constant ``_k_hashes`` cap (4):
+    every filter ``build``/``update`` produces has k ≤ 4, the per-row guard
+    keeps the evaluated mask exactly per-bucket, and a hypothetical k > 4
+    filter would only test a subset of its bits — more false positives
+    (confirmed downstream by the exact anti-join), never false negatives.
+    The previous ``filters.agg(max(k_hashes)).collect()`` ran the WHOLE
+    filter-build job once just to pick the unroll count, then the join
+    executed it a second time — one full extra pass of the probe path's
+    fixed cost (round-6 guide §2.4: remove shuffles/actions outright).
     """
     flt = filters.select(
         F.col(bucket_col).alias("__fbucket"),
@@ -316,8 +324,7 @@ def probe_jvm(
     joined = candidates.withColumn("__mix", F.xxhash64(hash_col)).join(
         flt, F.col(bucket_col) == flt["__fbucket"], "left"
     )
-    k_row = filters.agg(F.max("k_hashes").alias("k")).collect()
-    k_max = int(k_row[0]["k"] or 0) if k_row else 0
+    k_max = _k_hashes(DEFAULT_BITS_PER_KEY)  # constant cap — no collect
     word = "element_at(__w, cast((__mix & ((__m div 64) - 1)) as int) + 1)"
     terms = [
         f"if({i} < __k, shiftleft(cast(1 as bigint),"

@@ -71,9 +71,14 @@ def param_relevance(
     be canonical (sorted query, no fragments) — compose with
     ``deep_url_normalize`` upstream.
     """
+    from starchart_spark.operators.text import ensure_min_partitions
+
     o = obs.select(F.col(url_col).alias("url"), F.col(fp_col).alias("fp"))
+    # the explode + per-row residual-string construction is the expensive
+    # stage; a single-file scan would run it on 1-2 tasks, so spread first
+    # (guide §2.5 input skew — no-op when the scan already has splits)
     member = (
-        o.where(F.col("url").contains("?"))
+        ensure_min_partitions(o.where(F.col("url").contains("?")))
         .select(
             "url",
             "fp",
@@ -89,23 +94,48 @@ def param_relevance(
             "fp",
         )
         .where(F.col("pname") != "")
-        .dropDuplicates(["hostname", "pname", "url"])
         .withColumn("residual", F.expr(_residual_expr()))
     )
-    keys = member.select("hostname", "pname", "residual").distinct()
-    # min(fp) per URL mirrors the oracle exactly; in practice fp is a pure
-    # function of the URL's content so the min is the only value
-    absent = keys.join(
-        o.groupBy(F.col("url").alias("residual")).agg(F.min("fp").alias("fp")),
-        "residual",
-    ).select("hostname", "pname", "residual", "fp")
+    # ONE aggregate replaces the old dropDuplicates-then-reuse shape (which
+    # re-ran the whole explode+residual subtree for the keys branch —
+    # guide §2.4): distinct URLs collapse per (host, param, residual, fp)
+    # with their count, exactly the oracle's SELECT DISTINCT granularity.
+    # n_obs = Σ __cnt and ndf = countDistinct(fp) decompose exactly over
+    # this pre-aggregation.
+    member_fp = member.groupBy("hostname", "pname", "residual", "fp").agg(
+        F.count_distinct("url").alias("__cnt")
+    )
+    # absent-variant attach WITHOUT a keys-distinct branch or a union (each
+    # re-ran pieces of the member subtree): LEFT-join the per-URL
+    # fingerprint dim (min(fp) per URL mirrors the oracle exactly; in
+    # practice fp is a pure function of the URL's content so the min is the
+    # only value) and fold it into the group aggregate by set arithmetic —
+    # member_fp rows are distinct on fp within a group, so
+    #   ndf   = count(member fps) + 1 iff the absent fp exists and differs
+    #           from every member fp,
+    #   n_obs = Σ __cnt + 1 iff the absent fp exists
+    # — exactly countDistinct/count over the old member ∪ absent union.
+    urlfp = o.groupBy(F.col("url").alias("residual")).agg(F.min("fp").alias("__fp_a"))
+    joined = member_fp.join(urlfp, "residual", "left")
     grouped = (
-        member.select("hostname", "pname", "residual", "fp")
-        .unionByName(absent)
-        .groupBy("hostname", "pname", "residual")
+        joined.groupBy("hostname", "pname", "residual")
         .agg(
-            F.countDistinct("fp").alias("ndf"),
-            F.count(F.lit(1)).alias("n_obs"),
+            F.count("fp").alias("__ndf_m"),
+            F.sum("__cnt").alias("__n_obs_m"),
+            F.max(F.col("__fp_a").isNotNull().cast("long")).alias("__has_a"),
+            F.coalesce(
+                F.max((F.col("fp") == F.col("__fp_a")).cast("long")), F.lit(0)
+            ).alias("__a_in_m"),
+        )
+        .select(
+            "hostname",
+            "pname",
+            "residual",
+            (
+                F.col("__ndf_m")
+                + ((F.col("__has_a") == 1) & (F.col("__a_in_m") == 0)).cast("long")
+            ).alias("ndf"),
+            (F.col("__n_obs_m") + F.col("__has_a")).alias("n_obs"),
         )
     )
     return (

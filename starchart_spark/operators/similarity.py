@@ -932,20 +932,38 @@ def semantic_dedup_bucketed(
     the sign-cell expression for nearest-centroid assignment against the
     persisted IvfIndex when data-adaptive cells are worth the extra scan.
     """
+    from starchart_spark.operators.text import ensure_min_partitions
+
     vec = F.col(vec_col).cast("array<double>")
     cell = F.lit(0).cast("long")
     for i in range(sign_dims):
         cell = cell * 2 + (F.element_at(vec, i + 1) >= 0).cast("long")
-    sig = corpus.select(F.col(id_col), vec.alias("__v"), cell.alias("__cell"))
-    a = sig.select(
-        F.col(id_col).alias("a_id"), F.col("__v").alias("va"), "__cell"
-    )
-    b = sig.select(
-        F.col(id_col).alias("b_id"), F.col("__v").alias("vb"), "__cell"
-    )
+
     def norm(c):
         return F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
 
+    # the vector norm is a pure function of the vector: compute it ONCE per
+    # vector in the projection (N sqrt-aggregates) instead of TWICE per
+    # candidate pair (it was ~2/3 of the per-pair higher-order-function
+    # work — guide §1.2 "per-task work"). The expression tree is the same
+    # sqrt(aggregate(x²)) over the same doubles, so sim = round(dot /
+    # (na·nb), 6) is bit-identical to the inline form.
+    sig = corpus.select(
+        F.col(id_col), vec.alias("__v"), cell.alias("__cell"), norm(vec).alias("__nm")
+    )
+    # candidate volume is Σ n_cell² — quadratic in corpus size — while the
+    # probe-side SCAN is often one small file (one task). Spread the probe
+    # side over the cluster before the explosive join so the per-pair work
+    # parallelizes (guide §2.5 input skew); no-op when the scan already has
+    # enough splits.
+    a = ensure_min_partitions(sig).select(
+        F.col(id_col).alias("a_id"), F.col("__v").alias("va"), "__cell",
+        F.col("__nm").alias("na"),
+    )
+    b = sig.select(
+        F.col(id_col).alias("b_id"), F.col("__v").alias("vb"), "__cell",
+        F.col("__nm").alias("nb"),
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
         F.lit(0.0),
@@ -954,9 +972,7 @@ def semantic_dedup_bucketed(
     dropped = (
         a.join(b, "__cell")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "sim", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
-        )
+        .withColumn("sim", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("sim") >= threshold)
         .select(F.col("b_id").alias(id_col))
         .distinct()
