@@ -58,7 +58,13 @@ def pagerank(
     double-count shares. Self-loops are legitimate (a host linking to
     itself keeps some of its own mass).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edges checkpoint ONCE up front (the hits() lesson): nodes, outdeg AND
+    # every iteration's ranks⋈edges join re-read this table — without the
+    # checkpoint the caller's upstream subtree (often a full fact-table
+    # scan + distinct) re-executes once per consumer, iters+2 times total
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
@@ -351,7 +357,11 @@ def trustrank(
     build; dangling mass rides a 1-row cross join; ``localCheckpoint``
     truncates lineage per round.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edges checkpoint once up front — the iteration body must never
+    # re-run the caller's upstream distinct (see pagerank)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
@@ -514,7 +524,11 @@ def opic(
     supersteps; ``score_u = hist_u + cash_u`` is the importance estimate
     the scheduler ranks on (the paper's H+C, unnormalized — ordering is
     what the frontier consumes). ``edges`` must be distinct (src, dst)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edges checkpoint once up front — the iteration body must never
+    # re-run the caller's upstream distinct (see pagerank)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("host"))
         .union(e.select(F.col("dst").alias("host")))
@@ -657,7 +671,11 @@ def hop_distance(
     per round (the :mod:`cluster` lesson). The frontier table never holds
     more than one row per host.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # edges checkpoint once up front — the BFS body re-reads e every
+    # round and must never re-run the caller's upstream subtree
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     dist = (
         seeds.select(F.col(seeds.columns[0]).alias("host"))
         .distinct()

@@ -86,6 +86,25 @@ def get_spark(
         # local mode: the driver heap IS the cluster memory; size it for the
         # parallelism (32 tasks × shuffle/persist buffers starve an 8g heap)
         .config("spark.driver.memory", os.environ.get("STARCHART_DRIVER_MEM", "32g"))
+        # long sessions running many queries accumulate broadcast/shuffle
+        # state that ContextCleaner only releases after a driver GC; the
+        # 30min default periodicGC never fires inside a ~25min bench run,
+        # so the heap fills until multi-second stop-the-world collections
+        # land inside timed queries (observed: the same query 2-3 s in a
+        # fresh session, 12-49 s late in a long one). Trigger cleanup
+        # every 90 s and make the explicit GC a CONCURRENT G1 cycle so the
+        # periodic trigger itself never stops the world.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("STARCHART_PERIODIC_GC", "90s"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "STARCHART_DRIVER_JAVA_OPTS",
+                "-XX:+ExplicitGCInvokesConcurrent -XX:G1HeapRegionSize=32m",
+            ),
+        )
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
