@@ -70,8 +70,13 @@ def nb_train(
     token floor per class, micro-nats. Both are dims: vocabulary-sized
     and K-sized respectively; scoring broadcasts them.
     """
-    toks = _tokens(labeled, text_col, id_col).join(
-        labeled.select(id_col, F.col(label_col).alias("label")), id_col
+    # carry the label THROUGH the explode — the previous shape exploded
+    # first and joined the label back on doc_id, a pointless join probing
+    # every token occurrence (guide §2.4)
+    toks = labeled.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
     counts = toks.groupBy("tok", "label").agg(F.count("*").alias("c"))
     class_totals = counts.groupBy("label").agg(F.sum("c").alias("n_c"))
@@ -122,17 +127,46 @@ def nb_score(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, label, score) — posterior log-score of EVERY class for every
-    non-blank document. One explode → cross the K-class dim → left-join
-    the model dim (floor on miss) → one micro-nat sum per (doc, class)."""
+    non-blank document.
+
+    Exact floor-delta decomposition (all integer micro-nats, so this is an
+    identity, not an approximation):
+
+        Σ_occ coalesce(ll, floor_c) = n_tokens·floor_c + Σ_seen (ll − floor_c)
+
+    which turns the old K-class CROSS join over every token occurrence
+    (|occurrences|·K probe rows) into ONE inner broadcast join that only
+    materializes the (occurrence, class) pairs the model has actually seen
+    — typically ≈1 class per token instead of K (guide §2.3 shuffle/probe
+    fewer rows). n_tokens comes from size(split(...)) in the scan
+    projection: no explode, no exchange."""
     toks = _tokens(df, text_col, id_col)
-    scored = (
-        toks.crossJoin(F.broadcast(classes))
-        .join(F.broadcast(model), ["tok", "label"], "left")
-        .withColumn("ll_u", F.coalesce(F.col("ll_u"), F.col("floor_u")))
+    # per-(tok, class) delta above the class floor, built on the K-sized
+    # dim at plan time
+    dim = model.join(classes.select("label", "floor_u"), "label").select(
+        "tok", "label", (F.col("ll_u") - F.col("floor_u")).alias("__delta")
+    )
+    msum = (
+        toks.join(F.broadcast(dim), "tok")
         .groupBy(id_col, "label")
-        .agg(
-            (F.first("prior_u") + F.sum("ll_u")).alias("score_u"),
+        .agg(F.sum("__delta").alias("__m"))
+    )
+    base = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__n"),
         )
+        .crossJoin(F.broadcast(classes))
+    )
+    scored = base.join(msum, [id_col, "label"], "left").select(
+        F.col(id_col),
+        "label",
+        (
+            F.col("prior_u")
+            + F.col("__n").cast("long") * F.col("floor_u")
+            + F.coalesce(F.col("__m"), F.lit(0))
+        ).alias("score_u"),
     )
     return scored.select(
         id_col,

@@ -313,11 +313,16 @@ def curated_corpus(
     # node and the kernel evaluates exactly once per surviving doc (the
     # pure-expression fold was getting duplicated into the pushed-down
     # predicate AND re-evaluated interpreted — see mode_ratio_udf)
-    bound = df.filter(~bench_pred).select(
-        F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        F.col(text_col),
-    ).filter(F.col("n_tokens") >= min_tokens)
+    # spread before the Arrow kernel: a single-file corpus scan would run
+    # the whole repetition-ratio pass in ONE Python worker (guide §4 — the
+    # kernel parallelizes per task); no-op when the scan already has splits
+    bound = _ensure_min_partitions(
+        df.filter(~bench_pred).select(
+            F.col(id_col),
+            token_count(text_col).alias("n_tokens"),
+            F.col(text_col),
+        ).filter(F.col("n_tokens") >= min_tokens)
+    )
     signals = bound.select(
         F.col(id_col),
         "n_tokens",

@@ -90,15 +90,19 @@ def remove_duplicated_substrings(
     """``(id, clean_text)`` for every non-blank doc: tokens covered by any
     L-window occurring ≥ ``min_count`` times corpus-wide are cut, the
     remainder rejoined in order (a fully-duplicated doc comes back ``''``)."""
+    from pyspark.sql import Window
+
     windows = gram_windows(df, length, text_col, id_col)
-    freq = (
-        windows.groupBy("gram")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= min_count)
-        .select("gram")
-    )
+    # corpus-wide gram frequency as ONE window count over a single
+    # gram-keyed exchange — the previous groupBy-then-join-back shape
+    # shuffled the full window table twice (once into the frequency
+    # aggregate, once into the join) and re-ran the explode subtree for
+    # each branch (guide §2.4). count(*) OVER (PARTITION BY gram) ≥
+    # min_count selects exactly the same windows.
+    w_gram = Window.partitionBy("gram")
     covered = (
-        windows.join(freq, "gram")
+        windows.withColumn("__n", F.count(F.lit(1)).over(w_gram))
+        .filter(F.col("__n") >= min_count)
         .select(
             F.col(id_col),
             F.explode(

@@ -3340,7 +3340,15 @@ def q_sitemap_recrawl_delta(spark, sf_dir):
     1000 when no lastmod) so all four label paths appear at gate scale."""
     from starchart_spark.operators import sitemaps
 
-    urls = q_sitemap_parse(spark, sf_dir).filter(F.col("kind") == "url")
+    # the parsed urlset feeds BOTH join sides (entries + ledger); without a
+    # checkpoint the whole assemble+parse subtree — the expensive 7-group
+    # collect_list/sort/concat — executes twice (guide §2.4 remove
+    # duplicated subtrees; results identical, the checkpoint is plan-only)
+    urls = (
+        q_sitemap_parse(spark, sf_dir)
+        .filter(F.col("kind") == "url")
+        .localCheckpoint(eager=True)
+    )
     llen = F.length("loc")
     ledger = urls.filter(llen % 2 == 0).select(
         "loc",
