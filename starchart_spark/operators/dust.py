@@ -77,33 +77,32 @@ def param_relevance(
     # the explode + per-row residual-string construction is the expensive
     # stage; a single-file scan would run it on 1-2 tasks, so spread first
     # (guide §2.5 input skew — no-op when the scan already has splits)
+    # distinct (url, fp) FIRST (narrow exchange), then one row per DISTINCT
+    # pname per url from array_distinct — together these make member rows
+    # distinct on (hostname, pname, url, fp) BY CONSTRUCTION, exactly the
+    # oracle's SELECT DISTINCT granularity, so the group count below is a
+    # plain count(*) instead of a two-phase count_distinct(url) that
+    # re-shuffled every residual string a second time (guide §2.3).
+    o_d = o.where(F.col("url").contains("?")).dropDuplicates(["url", "fp"])
     member = (
-        ensure_min_partitions(o.where(F.col("url").contains("?")))
+        ensure_min_partitions(o_d)
         .select(
             "url",
             "fp",
             F.regexp_extract("url", _HOST_RE, 1).alias("hostname"),
             F.explode(
-                F.expr("filter(split(split(url, '[?]')[1], '&'), x -> x != '')")
-            ).alias("pair"),
-        )
-        .select(
-            "hostname",
-            F.expr("split(pair, '=')[0]").alias("pname"),
-            "url",
-            "fp",
+                F.expr(
+                    "array_distinct(transform("
+                    "filter(split(split(url, '[?]')[1], '&'), x -> x != ''),"
+                    " x -> split(x, '=')[0]))"
+                )
+            ).alias("pname"),
         )
         .where(F.col("pname") != "")
         .withColumn("residual", F.expr(_residual_expr()))
     )
-    # ONE aggregate replaces the old dropDuplicates-then-reuse shape (which
-    # re-ran the whole explode+residual subtree for the keys branch —
-    # guide §2.4): distinct URLs collapse per (host, param, residual, fp)
-    # with their count, exactly the oracle's SELECT DISTINCT granularity.
-    # n_obs = Σ __cnt and ndf = countDistinct(fp) decompose exactly over
-    # this pre-aggregation.
     member_fp = member.groupBy("hostname", "pname", "residual", "fp").agg(
-        F.count_distinct("url").alias("__cnt")
+        F.count(F.lit(1)).alias("__cnt")
     )
     # absent-variant attach WITHOUT a keys-distinct branch or a union (each
     # re-ran pieces of the member subtree): LEFT-join the per-URL

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from starchart_spark.operators.text import ensure_min_partitions
+
 
 def split_paragraphs(
     df: DataFrame,
@@ -43,8 +45,11 @@ def split_paragraphs(
     preserved. Blank paragraphs (empty or whitespace-only between
     separators) are dropped here and therefore absent from reassembled
     text: the canonical form has no empty paragraphs."""
+    # spread before the explode: a single-file scan would run the whole
+    # per-paragraph stage on one task (no-op at scale — guide §2.5)
     return (
-        df.select(
+        ensure_min_partitions(df)
+        .select(
             F.col(id_col),
             F.posexplode(F.split(F.col(text_col), sep)).alias("pidx", "para"),
         )
@@ -72,7 +77,8 @@ def chunk_paragraphs(
     invisible on 40-token gate docs, ruinous on 10k-token real ones);
     capturing a bound column reference is an O(1) field read."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col), toks.alias("__toks"))
+    # spread before the explode (guide §2.5; no-op at scale)
+    base = ensure_min_partitions(df).select(F.col(id_col), toks.alias("__toks"))
     n_chunks = F.ceil(F.size("__toks") / F.lit(float(chunk_tokens))).cast("int")
     paras = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -116,6 +122,10 @@ def remove_frequent_paragraphs(
     original order. A document whose every paragraph was frequent comes
     back as ``''`` (kept as a row so row-count parity with the input holds
     for the docs that had any paragraph at all)."""
+    # paras feeds THREE consumers (frequency dim, anti-join probe side,
+    # id space); checkpoint once so the upstream split/chunk explode does
+    # not re-execute per consumer (guide §2.4; plan-only, results equal)
+    paras = paras.localCheckpoint(eager=True)
     freq = frequent_paragraphs(paras, min_df, id_col, para_col)
     kept = paras.join(F.broadcast(freq), para_col, "left_anti")
     rebuilt = kept.groupBy(id_col).agg(

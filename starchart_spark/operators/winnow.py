@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from starchart_spark.operators.text import FP_MOD, FP_MULT
+from starchart_spark.operators.text import FP_MOD, FP_MULT, ensure_min_partitions
 
 # positions per document cap for the order-encoding key: gh < 2^31 and
 # POSCAP = 2^20 keep gh·POSCAP + POSCAP < 2^52 — exact in longs AND in
@@ -79,8 +79,10 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # spread before the explode: a single-file scan would run the whole
+    # per-token stage on one task (no-op at scale — guide §2.5)
     pos_tok = (
-        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        ensure_min_partitions(df.filter(F.length(F.trim(F.col(text_col))) > 0))
         .select(F.col(id_col).alias("__id"), toks.alias("__t"))
         .select("__id", F.posexplode("__t").alias("__p0", "__tok"))
         .select("__id", (F.col("__p0") + 1).alias("pos"), "__tok")

@@ -245,7 +245,9 @@ def q_mini_index(spark, sf_dir):
     """A1/D7: mini-index — unique words per source (case-sensitive), with
     count + lexicographic extremes (the full space-joined string, compactly)."""
     words = (
-        _t(spark, sf_dir, "documents")
+        text.ensure_min_partitions(
+            _t(spark, sf_dir, "documents").select("source", "text")
+        )
         .select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
         .filter(F.col("word") != "")
     )
@@ -1094,7 +1096,11 @@ FROM documents
 
 def q_quality_features(spark, sf_dir):
     """Quality scoring: length/punct/stopword features + bounded score."""
-    d = text.quality_features(_t(spark, sf_dir, "documents"))
+    d = text.quality_features(
+        text.ensure_min_partitions(
+            _t(spark, sf_dir, "documents").select("doc_id", "text")
+        )
+    )
     return d.select(
         "doc_id", "n_tokens", F.round("punct_ratio", 6).alias("punct_ratio"),
         "stopword_hits", "quality_score",
@@ -1129,7 +1135,12 @@ FROM feat
 def q_lang_id(spark, sf_dir):
     """Language ID: marker-word hit counts, argmax with lexicographic
     tiebreak."""
-    return text.lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+    # spread the marker-intersect work: a single-file corpus scan would
+    # run it on one task (no-op at scale — guide §2.5)
+    d = text.ensure_min_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return text.lang_id(d).select("doc_id", "lang_pred")
 
 
 def _lang_sql() -> str:
@@ -1163,7 +1174,10 @@ SQL_LANG_ID = _lang_sql()
 
 def q_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint (order-sensitive)."""
-    return text.fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
+    d = text.ensure_min_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return text.fingerprint(d).select("doc_id", "fp")
 
 
 SQL_FINGERPRINT = rf"""
@@ -1492,7 +1506,10 @@ def q_pii_scrub(spark, sf_dir):
     """PII audit + redaction in one codegen'd scan: synthesize PII-bearing
     text from customer (deterministic email / TPC-H-format phone / IPv4),
     then count and scrub each class — zero shuffles, zero Python."""
-    c = _t(spark, sf_dir, "customer")
+    # spread 8-byte keys BEFORE synthesizing text so the regex scrub runs
+    # on every core (single-file scan = one task otherwise); the shuffle
+    # moves only c_custkey
+    c = text.ensure_min_partitions(_t(spark, sf_dir, "customer").select("c_custkey"))
     k = F.col("c_custkey")
     phone = F.concat(
         (k % 25 + 10).cast("string"),
