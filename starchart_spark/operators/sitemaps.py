@@ -70,6 +70,12 @@ def parse_sitemaps(
     e = bodies.select(host_col, F.explode(blocks).alias("e")).select(
         host_col, F.col("e.kind").alias("kind"), F.col("e.b").alias("b")
     )
+    # one sitemap body fans out to ~10^4-10^5 entry rows, so after the
+    # explode the input partitioning is meaningless — a handful of giant
+    # bodies would leave the four per-entry regexes below running on as
+    # many tasks as there were bodies. Rebalance to the cluster width
+    # before the per-entry field extraction (guide §2.5 input skew).
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     loc = _unescape(F.regexp_extract("b", _LOC_RE, 1))
     freq = F.regexp_extract("b", _FREQ_RE, 1)
     pri = F.regexp_extract("b", _PRI_RE, 1)

@@ -100,7 +100,13 @@ def remove_duplicated_substrings(
     # each branch (guide §2.4). count(*) OVER (PARTITION BY gram) ≥
     # min_count selects exactly the same windows.
     w_gram = Window.partitionBy("gram")
-    covered = (
+    # covered positions collapse to ONE int-set row per doc (collect_set
+    # dedups, so no separate (id, pos) distinct exchange), and the doc is
+    # rebuilt from its ORIGINAL token array with an indexed filter — the
+    # previous shape re-exploded every token, anti-joined on (id, pos) and
+    # re-assembled via collect_list + array_sort: three extra exchanges of
+    # token-grain rows for the same clean_text (guide §2.4).
+    cov = (
         windows.withColumn("__n", F.count(F.lit(1)).over(w_gram))
         .filter(F.col("__n") >= min_count)
         .select(
@@ -109,24 +115,25 @@ def remove_duplicated_substrings(
                 F.sequence(F.col("start"), F.col("start") + (length - 1))
             ).alias("pos"),
         )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__cov"))
     )
-    kept = token_positions(df, text_col, id_col).join(
-        covered, [id_col, "pos"], "left_anti"
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("__toks")
     )
-    rebuilt = kept.groupBy(id_col).agg(
+    empty = F.array().cast("array<int>")
+    return base.join(cov, id_col, "left").select(
+        F.col(id_col),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+            F.filter(
+                F.col("__toks"),
+                lambda x, i: ~F.array_contains(
+                    F.coalesce(F.col("__cov"), empty), i
+                ),
             ),
             " ",
-        ).alias("clean_text")
-    )
-    all_ids = df.filter(F.trim(F.col(text_col)) != "").select(id_col)
-    return all_ids.join(rebuilt, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        ).alias("clean_text"),
     )
 
 

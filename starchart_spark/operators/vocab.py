@@ -53,10 +53,16 @@ def build_vocab(
         .agg(F.count("*").alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    w = Window.orderBy(F.col("count").desc(), F.col("tok").asc())
-    ranked = counts.withColumn("tok_id", F.row_number().over(w))
+    order = [F.col("count").desc(), F.col("tok").asc()]
     if max_size is not None:
-        ranked = ranked.filter(F.col("tok_id") <= max_size)
+        # distributed top-K first (per-partition top-K, then merge), THEN
+        # the single-task rank window over only max_size rows — the
+        # unbounded form ranks the ENTIRE distinct vocabulary in one task
+        # (guide §2.5); the (count desc, tok) order is total, so
+        # limit-then-rank selects and numbers the identical rows
+        counts = counts.orderBy(*order).limit(max_size)
+    w = Window.orderBy(*order)
+    ranked = counts.withColumn("tok_id", F.row_number().over(w))
     return ranked.select("tok", "tok_id", "count")
 
 
@@ -68,7 +74,16 @@ def encode(
 ) -> DataFrame:
     """(id, ids, n_tokens) — token-id array in document order, OOV→0.
     Blank docs are absent (same contract as the other text operators)."""
-    toks = df.filter(F.trim(F.col(text_col)) != "").select(
+    from starchart_spark.operators.text import ensure_min_partitions
+
+    # spread before the explode (guide §2.5; no-op at scale). A per-row
+    # transform over a broadcast map was tried instead of the explode+join
+    # — 3x SLOWER: higher-order-function lambdas evaluate interpreted per
+    # element, while the join+collect path stays in codegen.
+    base = ensure_min_partitions(
+        df.filter(F.trim(F.col(text_col)) != "").select(F.col(id_col), F.col(text_col))
+    )
+    toks = base.select(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
             "pos", "tok"
