@@ -235,6 +235,11 @@ def grouped_ordered_prefix(
     ranged = df.repartitionByRange(
         num_partitions, F.col(group_col), *order_exprs
     ).withColumn("__pid", F.spark_partition_id())
+    # RETENTION NOTE: this persist (like ordered_prefix's) is released by
+    # the ContextCleaner when the returned frame is garbage-collected, not
+    # eagerly — long-lived drivers calling the quantile family repeatedly
+    # rely on session.py's 90 s periodic concurrent GC to bound the cached
+    # partitions' lifetime.
     ranged = ranged.persist()
     per = ranged.groupBy("__pid", group_col).agg(
         F.count(F.lit(1)).alias("__cnt"),

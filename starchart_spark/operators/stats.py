@@ -27,8 +27,9 @@ q=1000 → max, q=500 → lower median. No interpolation: interpolated
 quantiles average two values in floats (engine-dependent last digit) and
 land on values that don't exist in the data; rank selection returns a
 value the corpus actually contains and is bit-identical on any
-partitioning or engine. ``div`` truncates in Spark and ``//`` floors in
-DuckDB — equal because every operand here is non-negative (the
+partitioning or engine. ``div`` in Spark and ``//`` in
+DuckDB both truncate toward zero (verified: -7 // 2 = -3 in DuckDB) —
+and every operand here is non-negative anyway, so the two agree (the
 :mod:`kmeans` offset lesson).
 
 Ties need no tie-break: rank assignment AMONG equal values is
