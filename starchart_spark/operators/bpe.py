@@ -45,9 +45,12 @@ def word_counts(
 ) -> DataFrame:
     """(word, n) — whitespace-token counts over the corpus. The ONE pass
     over the big table; everything downstream runs on this dim."""
+    from starchart_spark.operators.text import ensure_min_partitions
+
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # spread before the explode (guide §2.5; no-op at scale)
     out = (
-        docs.filter(F.trim(F.col(text_col)) != "")
+        ensure_min_partitions(docs.filter(F.trim(F.col(text_col)) != ""))
         .select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("n"))

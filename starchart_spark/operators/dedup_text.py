@@ -61,10 +61,12 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     sh = F.when(
         F.size(toks) >= n, text_ops.sliding_ngrams(toks, n)
     ).otherwise(F.array().cast("array<string>"))  # docs shorter than n: no shingles
-    return (
-        text_ops.ensure_min_partitions(df)
-        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+    # explode(array_distinct(...)) already yields distinct shingles per doc
+    # — the dropDuplicates([id, shingle]) this had was a logical no-op
+    # costing a full exchange of every shingle string (guide §2.4 "a
+    # distinct on data that is already unique")
+    return text_ops.ensure_min_partitions(df).select(
+        F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 

@@ -119,7 +119,14 @@ def kn_model(
     bigram dim is corpus-sparsity-sized; at open-web scale the same KenLM
     prune as :func:`bigram_model` applies upstream (drop c_bg < k rows
     BEFORE this call and the pruned mass falls into the backoff branch)."""
-    counts = corpus_bigrams.groupBy("bigram").agg(F.count("*").alias("c_bg"))
+    # the four returned dims ALL derive from this aggregate; checkpoint it
+    # once or every consumer re-runs the corpus bigram explode + count
+    # (guide §2.4 — the graph-edges lesson)
+    counts = (
+        corpus_bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("c_bg"))
+        .localCheckpoint(eager=True)
+    )
     v = F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
     w = F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))
     ctx = counts.groupBy(v.alias("v")).agg(

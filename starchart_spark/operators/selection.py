@@ -45,8 +45,11 @@ from pyspark.sql import functions as F
 def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, tok) — one row per token OCCURRENCE (weights sum over
     occurrences, not distinct types). Blank docs contribute nothing."""
+    from starchart_spark.operators.text import ensure_min_partitions
+
+    # spread before the explode (guide §2.5; no-op at scale)
     return (
-        df.filter(F.trim(F.col(text_col)) != "")
+        ensure_min_partitions(df.filter(F.trim(F.col(text_col)) != ""))
         .select(
             F.col(id_col),
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),

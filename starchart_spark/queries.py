@@ -1679,7 +1679,13 @@ def q_quality_buckets(spark, sf_dir):
     100 TB path (broadcast approx thresholds, no per-stratum sort)."""
     from starchart_spark.operators import curation
 
-    d = text.lang_id(text.quality_features(_t(spark, sf_dir, "documents")))
+    d = text.lang_id(
+        text.quality_features(
+            text.ensure_min_partitions(
+                _t(spark, sf_dir, "documents").select("doc_id", "text")
+            )
+        )
+    )
     return curation.percentile_buckets(
         d.select("doc_id", "lang_pred", "quality_score"),
         score_col="quality_score",
@@ -3416,9 +3422,11 @@ def q_deep_url_dedup(spark, sf_dir):
     character-identically by the oracle."""
     from starchart_spark.functions import urls as urls_fn
 
-    cust = _t(spark, sf_dir, "customer").select(
-        F.expr(_DEEP_URL_SQL).alias("url")
-    )
+    # spread the 8-byte keys before URL synthesis + the 8-pass dot-segment
+    # regex normalization (single-file scan = one task otherwise)
+    cust = text.ensure_min_partitions(
+        _t(spark, sf_dir, "customer").select("c_custkey")
+    ).select(F.expr(_DEEP_URL_SQL).alias("url"))
     return (
         cust.select(urls_fn.deep_url_normalize("url").alias("norm_url"))
         .groupBy("norm_url")
